@@ -1,0 +1,227 @@
+"""Runtime configuration for the TPU edge-VO framework.
+
+The reference keeps ~50 compile-time ``#define`` thresholds in
+``include/definitions.h:16-86`` plus a per-dataset YAML schema parsed by
+``src/Dataset.cpp:54-148``.  Here every tier-2 compile-time constant is lifted
+into one frozen dataclass (``VOConfig``) whose fields are static arguments of
+the jitted pipeline, and the YAML schema is parsed into ``StereoRig``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    """All pipeline thresholds (reference: include/definitions.h:16-86).
+
+    These are Python-level constants: they are closed over by jitted
+    functions, so changing any field triggers a recompile (intended - the
+    reference requires a rebuild for the same change).
+    """
+
+    # --- Stereo edge matching (definitions.h:17-36) ---
+    epipolar_line_dist_thresh: float = 0.5     # px (EPIPOLAR_LINE_DIST_THRESH)
+    epip_tangency_orient_thresh: float = 12.0  # deg (EPIP_TENGENCY_ORIENT_THRESH)
+    epip_tangency_proxim_thresh: float = 4.0   # px (EPIP_TENGENCY_PROXIM_THRESH)
+    max_disparity: float = 25.0                # px (MAX_DISPARITY)
+    edge_cluster_thresh: float = 0.3           # px (EDGE_CLUSTER_THRESH)
+    orthogonal_shift_mag: float = 5.0          # px (ORTHOGONAL_SHIFT_MAG)
+    patch_size: int = 7                        # px (PATCH_SIZE)
+    ncc_thresh: float = 0.6                    # (NCC_THRESH)
+    epip_tangency_displ_thresh: float = 3.0    # px (EPIP_TANGENCY_DISPL_THRESH)
+    location_perturbation: float = 0.4         # px (LOCATION_PERTURBATION)
+    orient_perturbation: float = 0.174533      # rad = 10 deg (ORIENT_PERTURBATION)
+    cluster_dist_thresh: float = 1.0           # px (CLUSTER_DIST_THRESH)
+    cluster_orient_thresh: float = 20.0        # deg (CLUSTER_ORIENT_THRESH)
+    max_cluster_size: int = 10                 # (MAX_CLUSTER_SIZE)
+    cluster_orient_gauss_sigma: float = 2.0    # (CLUSTER_ORIENT_GAUSS_SIGMA)
+    bnb_sift: float = 0.4                      # (BNB_SIFT)
+    bnb_ncc: float = 0.9                       # (BNB_NCC)
+    huber_delta: float = 1.0                   # (HUBER_DELTA)
+    lowes_ratio: float = 0.8                   # (LOWES_RATIO)
+    sift_threshold: float = 500.0              # (SIFT_THRESHOLD) descriptor gate, stereo
+    orientation_thresh_deg: float = 10.0       # stereo orientation filter arg (Stereo_Matches.cpp:1399)
+
+    # --- Precision/recall eval (definitions.h:42-43) ---
+    dist_to_gt_thresh: float = 1.0             # px (DIST_TO_GT_THRESH)
+    dist_to_gt_thresh_quads: float = 2.0       # px (DIST_TO_GT_THRESH_QUADS)
+
+    # --- Spatial grid (definitions.h:45) ---
+    grid_size: int = 15                        # px cell (GRID_SIZE)
+
+    # --- RANSAC constraint gates (definitions.h:47-50) ---
+    tau_c1: float = 0.13
+    tau_c2: float = 0.12
+    tau_c3: float = 0.12
+    tau_c4: float = 0.32
+
+    # --- RANSAC options (reference include/MotionTracker.h:37-62) ---
+    ransac_max_iterations: int = 5000
+    ransac_min_iterations: int = 100
+    ransac_success_prob: float = 0.9999
+    ransac_max_reproj_error: float = 1.5       # px
+    ransac_top_rank_percentage: float = 0.7
+    ransac_seed: int = 42
+
+    # --- TOED (definitions.h:76-77) ---
+    toed_kernel_size: int = 17                 # (TOED_KERNEL_SIZE)
+    toed_sigma: float = 2.0                    # (TOED_SIGMA)
+    toed_grad_mag_min: float = 2.0             # NMS gate (cpu_toed.cpp:406)
+    toed_border: int = 10                      # interp-image + image border rejection (cpu_toed.cpp:401,553)
+
+    # --- Temporal quad cascade (Temporal_Matches.cpp hard-coded args) ---
+    temporal_grid_radius: float = 30.0         # px (Temporal_Matches.cpp:184)
+    temporal_orient_thresh_deg: float = 10.0   # (Temporal_Matches.cpp:188)
+    temporal_ncc_thresh: float = 0.8           # (Temporal_Matches.cpp:192)
+    temporal_sift_thresh: float = 200.0        # (Temporal_Matches.cpp:197)
+    temporal_bnb_ratio: float = 0.8            # (Temporal_Matches.cpp:201,205)
+    temporal_huber_delta: float = 3.0          # (Temporal_Matches.cpp:612)
+    veridical_orient_thresh_deg: float = 10.0  # (Temporal_Matches.cpp:67)
+    veridical_search_radius: float = 20.0      # = 15+2+3 (Temporal_Matches.cpp:68)
+    sift_shift_mag: float = 8.0                # descriptor keypoint shift (Stereo_Matches.cpp:669)
+
+    # --- Gauss-Newton photometric refinement (Stereo_Matches.cpp:1159-1288) ---
+    gn_max_iter: int = 20
+    gn_tol: float = 1e-3
+
+    # --- GT supervision path (Stereo_Matches.cpp:146,228) ---
+    gt_orient_exclusion_deg: float = 4.0       # omit edges near 0/±180 deg
+    gt_pair_dist_tol: float = 1.0              # px (Stereo_Matches.cpp:228)
+    gt_pair_orient_tol: float = 5.0            # deg (Stereo_Matches.cpp:228)
+
+    # --- Fixed-shape capacities (TPU-specific; no reference equivalent:
+    #     the reference uses dynamically-sized std::vectors) ---
+    max_edges: int = 32768          # per-image TOED edge capacity
+    max_candidates: int = 32        # per-left-edge stereo candidate capacity
+    gather_slots: int = 96          # raw grid-gather slots before compaction
+    max_mates: int = 8192           # finalized stereo mates capacity
+    max_quad_candidates: int = 16   # per-KF-mate temporal candidate capacity
+    quad_gather_slots: int = 64     # raw temporal grid-gather slots
+    cell_capacity: int = 16         # per-grid-cell edge capacity
+
+    # --- Descriptor (SIFT replacement; deliberate deviation, see
+    #     ops/descriptors.py docstring) ---
+    desc_patch_samples: int = 16    # 16x16 sampling grid
+    desc_spatial_bins: int = 4      # 4x4 spatial cells
+    desc_orient_bins: int = 8       # 8 orientation bins -> 128-D
+    desc_sample_spacing: float = 1.0
+    desc_clip: float = 0.2
+    desc_scale: float = 512.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """One camera's intrinsics (reference YAML `left_camera`/`right_camera`,
+    parsed at src/Dataset.cpp:77-97)."""
+
+    width: int
+    height: int
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    distortion: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+
+    @property
+    def K(self) -> np.ndarray:
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float64,
+        )
+
+    @property
+    def K_inv(self) -> np.ndarray:
+        return np.linalg.inv(self.K)
+
+
+def _skew(t: np.ndarray) -> np.ndarray:
+    """Skew-symmetric matrix (reference src/utility.cpp:33-43)."""
+    return np.array(
+        [[0.0, -t[2], t[1]], [t[2], 0.0, -t[0]], [-t[1], t[0], 0.0]],
+        dtype=np.float64,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoRig:
+    """Stereo extrinsics + derived fundamental matrices.
+
+    The reference computes F on the fly from R21/T21
+    (src/Dataset.cpp:106-112):  F21 = K_r^-T [T21]_x R21 K_l^-1.
+    """
+
+    left: CameraConfig
+    right: CameraConfig
+    R21: Tuple[Tuple[float, ...], ...]   # left -> right rotation
+    T21: Tuple[float, ...]               # left -> right translation
+    rot_frame2body: Optional[Tuple[Tuple[float, ...], ...]] = None
+    transl_frame2body: Optional[Tuple[float, ...]] = None
+
+    @property
+    def R21_np(self) -> np.ndarray:
+        return np.asarray(self.R21, dtype=np.float64)
+
+    @property
+    def T21_np(self) -> np.ndarray:
+        return np.asarray(self.T21, dtype=np.float64)
+
+    @property
+    def R12_np(self) -> np.ndarray:
+        return self.R21_np.T
+
+    @property
+    def T12_np(self) -> np.ndarray:
+        return -self.R21_np.T @ self.T21_np
+
+    @property
+    def F21(self) -> np.ndarray:
+        """Fundamental matrix mapping left points to right epipolar lines."""
+        Kl, Kr = self.left.K, self.right.K
+        return np.linalg.inv(Kr).T @ (_skew(self.T21_np) @ self.R21_np) @ np.linalg.inv(Kl)
+
+    @property
+    def F12(self) -> np.ndarray:
+        """Fundamental matrix mapping right points to left epipolar lines."""
+        Kl, Kr = self.left.K, self.right.K
+        return np.linalg.inv(Kl).T @ (_skew(self.T12_np) @ self.R12_np) @ np.linalg.inv(Kr)
+
+
+def rig_from_yaml_dict(cfg: dict) -> StereoRig:
+    """Build a StereoRig from the reference's YAML schema
+    (keys as in config/kitti.yaml:1-29, parsed at src/Dataset.cpp:54-148)."""
+
+    def cam(node) -> CameraConfig:
+        res = node["resolution"]
+        intr = node["intrinsics"]
+        dist = tuple(float(d) for d in node.get("distortion_coefficients", [0, 0, 0, 0]))
+        return CameraConfig(
+            width=int(res[0]), height=int(res[1]),
+            fx=float(intr[0]), fy=float(intr[1]), cx=float(intr[2]), cy=float(intr[3]),
+            distortion=dist,
+        )
+
+    stereo = cfg["stereo"]
+    r2b = cfg.get("frame_to_body")
+    rot_f2b = None
+    tr_f2b = None
+    if r2b is not None:
+        # Reference maps the row-major 9-vector then transposes
+        # (src/Dataset.cpp:141) because Eigen::Map is column-major; net
+        # effect: the YAML 9-vector is read row-major as-is.
+        flat = np.asarray(r2b["rotation"], dtype=np.float64).reshape(3, 3)
+        rot_f2b = tuple(tuple(row) for row in flat)
+        tr_f2b = tuple(float(x) for x in r2b["translation"])
+
+    return StereoRig(
+        left=cam(cfg["left_camera"]),
+        right=cam(cfg["right_camera"]),
+        R21=tuple(tuple(float(x) for x in row) for row in stereo["R21"]),
+        T21=tuple(float(x) for x in stereo["T21"]),
+        rot_frame2body=rot_f2b,
+        transl_frame2body=tr_f2b,
+    )
