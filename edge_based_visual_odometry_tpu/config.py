@@ -100,6 +100,7 @@ class VOConfig:
     max_candidates: int = 32        # per-left-edge stereo candidate capacity
     gather_slots: int = 96          # raw grid-gather slots before compaction
     max_mates: int = 8192           # finalized stereo mates capacity
+    max_refine_pairs: int = 65536   # flat (row, cand) capacity for GN/post-NCC
     max_quad_candidates: int = 16   # per-KF-mate temporal candidate capacity
     quad_gather_slots: int = 64     # raw temporal grid-gather slots
     cell_capacity: int = 16         # per-grid-cell edge capacity

@@ -1,0 +1,257 @@
+"""Dataset iterators: KITTI / EuRoC / ETH3D-stereo / ETH3D-SLAM.
+
+Host-side Python re-design of the reference's iterator stack
+(src/Stereo_Iterator.cpp, dispatched from Dataset::load_dataset,
+src/Dataset.cpp:158-206). Layout conventions mirror the reference exactly:
+
+  KITTI       <dataset_dir>/<sequence>/image_{0,1}/NNNNNN.png, GT poses as
+              12-number row-major [R|t] lines (ref :84-184)
+  EuRoC       <seq>/mav0/cam{0,1}/data/<ts>.png driven by cam0/data.csv,
+              GT from state_groundtruth_estimate0/data.csv with the
+              body->camera transform chain (ref :18-78, :484-558)
+  ETH3D_stereo <seq>/stereo_pairs/<pair>/im{0,1}.png + images.txt COLMAP
+              GT + GT disparity PFMs + occlusion masks (ref :189-301;
+              Dataset.cpp:208-316)
+  ETH3D_slam  <seq>/rgb.txt (right) + rgb2/ (left) TUM lists +
+              groundtruth.txt with nearest-timestamp alignment
+              (ref :307-478)
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from edge_based_visual_odometry_tpu.io.pfm import read_pfm
+
+
+def _imread_gray(path: str) -> Optional[np.ndarray]:
+    try:
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            return None
+        return img.astype(np.float32)
+    except ImportError:
+        from PIL import Image
+        if not os.path.exists(path):
+            return None
+        return np.asarray(Image.open(path).convert("L"), dtype=np.float32)
+
+
+@dataclasses.dataclass
+class StereoSample:
+    """Host-side frame record (reference StereoFrame,
+    include/Stereo_Iterator.h:71-95, pre-device parts)."""
+
+    left: np.ndarray
+    right: np.ndarray
+    timestamp: float
+    gt_R: Optional[np.ndarray] = None          # world->cam? see iterators
+    gt_t: Optional[np.ndarray] = None
+    left_disparity: Optional[np.ndarray] = None
+    right_disparity: Optional[np.ndarray] = None
+    left_occlusion: Optional[np.ndarray] = None
+    right_occlusion: Optional[np.ndarray] = None
+
+
+def _quat_to_R(qw, qx, qy, qz):
+    q = np.array([qw, qx, qy, qz], np.float64)
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def iter_kitti(sequence_path: str, gt_path: str = "") -> Iterator[StereoSample]:
+    """KITTI odometry grayscale pairs (ref :84-184)."""
+    left_dir = os.path.join(sequence_path, "image_0")
+    n = len([f for f in os.listdir(left_dir) if f.endswith(".png")])
+    gt_lines: List[str] = []
+    if gt_path and os.path.exists(gt_path):
+        with open(gt_path) as f:
+            gt_lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    for i in range(n):
+        fn = f"{i:06d}.png"
+        left = _imread_gray(os.path.join(sequence_path, "image_0", fn))
+        right = _imread_gray(os.path.join(sequence_path, "image_1", fn))
+        if left is None or right is None:
+            continue
+        s = StereoSample(left=left, right=right, timestamp=float(i))
+        if i < len(gt_lines):
+            v = [float(x) for x in gt_lines[i].split()]
+            if len(v) >= 12:
+                s.gt_R = np.array([[v[0], v[1], v[2]],
+                                   [v[4], v[5], v[6]],
+                                   [v[8], v[9], v[10]]])
+                s.gt_t = np.array([v[3], v[7], v[11]])
+        yield s
+
+
+def _load_euroc_gt(gt_csv: str, R_f2b: np.ndarray, t_f2b: np.ndarray):
+    """Preload GT poses with the body->world * frame->body chain
+    (ref :484-558, :565-627). Returns sorted (ts, R, t) list of
+    world_from_camera transforms."""
+    poses = []
+    with open(gt_csv) as f:
+        reader = csv.reader(f)
+        next(reader, None)
+        for row in reader:
+            if len(row) < 8:
+                continue
+            try:
+                ts = float(row[0])
+                t_b = np.array([float(row[1]), float(row[2]), float(row[3])])
+                R_b = _quat_to_R(float(row[4]), float(row[5]),
+                                 float(row[6]), float(row[7]))
+            except ValueError:
+                continue
+            R = R_b @ R_f2b
+            t = R_b @ t_f2b + t_b
+            poses.append((ts, R, t))
+    poses.sort(key=lambda p: p[0])
+    return poses
+
+
+def _nearest_pose(poses, ts: float):
+    """Nearest-timestamp GT lookup (ref :594-627)."""
+    if not poses:
+        return None
+    times = [p[0] for p in poses]
+    import bisect
+    i = bisect.bisect_left(times, ts)
+    if i >= len(poses):
+        i = len(poses) - 1
+    elif i > 0 and abs(times[i - 1] - ts) < abs(times[i] - ts):
+        i -= 1
+    return poses[i]
+
+
+def iter_euroc(seq_path: str, R_frame2body: Optional[np.ndarray] = None,
+               t_frame2body: Optional[np.ndarray] = None) -> Iterator[StereoSample]:
+    """EuRoC MAV format with GT alignment (ref :18-78, :633-665)."""
+    base = os.path.join(seq_path, "mav0")
+    csv_path = os.path.join(base, "cam0", "data.csv")
+    gt_csv = os.path.join(base, "state_groundtruth_estimate0", "data.csv")
+    R_f2b = np.eye(3) if R_frame2body is None else np.asarray(R_frame2body)
+    t_f2b = np.zeros(3) if t_frame2body is None else np.asarray(t_frame2body)
+    poses = _load_euroc_gt(gt_csv, R_f2b, t_f2b) if os.path.exists(gt_csv) else []
+
+    with open(csv_path) as f:
+        reader = csv.reader(f)
+        next(reader, None)
+        for row in reader:
+            if not row:
+                continue
+            ts_str = row[0].strip()
+            left = _imread_gray(os.path.join(base, "cam0", "data", ts_str + ".png"))
+            right = _imread_gray(os.path.join(base, "cam1", "data", ts_str + ".png"))
+            if left is None or right is None:
+                continue
+            s = StereoSample(left=left, right=right, timestamp=float(ts_str))
+            p = _nearest_pose(poses, float(ts_str))
+            if p is not None:
+                s.gt_R, s.gt_t = p[1], p[2]
+            yield s
+
+
+def iter_eth3d_stereo(seq_path: str) -> Iterator[StereoSample]:
+    """ETH3D two-view folders with GT disparity PFMs + occlusion masks
+    (ref :189-301; disparity loading Dataset.cpp:208-316)."""
+    pairs_path = os.path.join(seq_path, "stereo_pairs")
+    folders = sorted(
+        os.path.join(pairs_path, d) for d in os.listdir(pairs_path)
+        if os.path.isdir(os.path.join(pairs_path, d)))
+    for k, folder in enumerate(folders):
+        left = _imread_gray(os.path.join(folder, "im0.png"))
+        right = _imread_gray(os.path.join(folder, "im1.png"))
+        if left is None or right is None:
+            continue
+        s = StereoSample(left=left, right=right, timestamp=float(k))
+        for attr, name in (("left_disparity", "disp0GT.pfm"),
+                           ("right_disparity", "disp1GT.pfm")):
+            p = os.path.join(folder, name)
+            if os.path.exists(p):
+                setattr(s, attr, read_pfm(p))
+        for attr, name in (("left_occlusion", "occ0.png"),
+                           ("right_occlusion", "occ1.png")):
+            p = os.path.join(folder, name)
+            if os.path.exists(p):
+                setattr(s, attr, _imread_gray(p))
+        # COLMAP-style images.txt GT for im0 (ref :245-301)
+        images_txt = os.path.join(folder, "images.txt")
+        if os.path.exists(images_txt):
+            with open(images_txt) as f:
+                for line in f:
+                    tok = line.split()
+                    if len(tok) >= 10 and tok[9] == "im0.png":
+                        s.gt_R = _quat_to_R(float(tok[1]), float(tok[2]),
+                                            float(tok[3]), float(tok[4]))
+                        s.gt_t = np.array([float(tok[5]), float(tok[6]),
+                                           float(tok[7])])
+                        break
+        yield s
+
+
+def iter_eth3d_slam(seq_path: str) -> Iterator[StereoSample]:
+    """ETH3D SLAM format: rgb.txt lists the RIGHT camera (rgb/), rgb2/ is
+    the LEFT camera (ref :441-443); TUM groundtruth.txt aligned by nearest
+    timestamp (ref :353-420)."""
+    image_list = []
+    with open(os.path.join(seq_path, "rgb.txt")) as f:
+        for line in f:
+            if not line.strip() or line.startswith("#"):
+                continue
+            tok = line.split()
+            if len(tok) >= 2:
+                image_list.append((float(tok[0]), tok[1]))
+    poses = []
+    gt_file = os.path.join(seq_path, "groundtruth.txt")
+    if os.path.exists(gt_file):
+        with open(gt_file) as f:
+            for line in f:
+                if not line.strip() or line.startswith("#"):
+                    continue
+                tok = [float(x) for x in line.split()]
+                if len(tok) >= 8:
+                    R = _quat_to_R(tok[7], tok[4], tok[5], tok[6])
+                    poses.append((tok[0], R, np.array(tok[1:4])))
+        poses.sort(key=lambda p: p[0])
+    for ts, filename in image_list:
+        right = _imread_gray(os.path.join(seq_path, filename))
+        left = _imread_gray(os.path.join(seq_path, "rgb2", filename[4:]))
+        if left is None or right is None:
+            continue
+        s = StereoSample(left=left, right=right, timestamp=ts)
+        p = _nearest_pose(poses, ts)
+        if p is not None:
+            s.gt_R, s.gt_t = p[1], p[2]
+        yield s
+
+
+def make_iterator(dataset_type: str, dataset_dir: str, sequence_name: str,
+                  gt_file_path: str = "",
+                  R_frame2body: Optional[np.ndarray] = None,
+                  t_frame2body: Optional[np.ndarray] = None
+                  ) -> Iterator[StereoSample]:
+    """Factory mirroring Dataset::load_dataset (src/Dataset.cpp:158-206)."""
+    seq = os.path.join(dataset_dir, sequence_name)
+    if dataset_type == "KITTI":
+        gt_file = ""
+        if gt_file_path:
+            seq_id = sequence_name.rsplit("/", 1)[-1]
+            gt_file = os.path.join(dataset_dir, gt_file_path, seq_id + ".txt")
+        return iter_kitti(seq, gt_file)
+    if dataset_type == "EuRoC":
+        return iter_euroc(seq, R_frame2body, t_frame2body)
+    if dataset_type == "ETH3D_stereo":
+        return iter_eth3d_stereo(seq)
+    if dataset_type == "ETH3D_slam":
+        return iter_eth3d_slam(seq)
+    raise ValueError(f"unknown dataset_type {dataset_type!r}")

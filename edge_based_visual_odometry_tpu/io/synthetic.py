@@ -1,0 +1,122 @@
+"""Analytic synthetic stereo sequences with exact ground truth.
+
+Renders a textured slanted plane viewed by a rectified stereo rig along a
+known camera trajectory. All sampling is of a closed-form texture function,
+so images are photometrically consistent across views to float precision -
+ideal for end-to-end pipeline tests (the role ETH3D delivery_area GT plays
+for the reference, src/Dataset.cpp:126-129, without needing the dataset on
+disk).
+
+Everything here is host-side NumPy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from edge_based_visual_odometry_tpu.config import CameraConfig, StereoRig
+
+
+def _texture(u: np.ndarray, v: np.ndarray, rng_seed: int = 7,
+             n_ridges: int = 24) -> np.ndarray:
+    """Closed-form texture with many long oriented step edges (tanh ridges)
+    over a smooth base - rich TOED structure, stable GN basins."""
+    rng = np.random.default_rng(rng_seed)
+    out = (120.0 + 25.0 * np.sin(3.0 * u) * np.cos(2.0 * v)
+           + 15.0 * np.sin(1.3 * u + 2.1 * v))
+    for k in range(n_ridges):
+        phi = rng.uniform(0, np.pi)
+        c = rng.uniform(-2.5, 2.5)
+        # strictly alternating signs keep partial sums bounded (no clipping
+        # plateaus that would erase texture)
+        amp = 17.0 * (1.0 if k % 2 == 0 else -1.0)
+        width = rng.uniform(0.01, 0.03)
+        out = out + amp * np.tanh(
+            (np.cos(phi) * u + np.sin(phi) * v - c) / width)
+    return np.clip(out, 0.0, 255.0)
+
+
+@dataclasses.dataclass
+class SyntheticFrame:
+    left: np.ndarray              # (H, W) float32
+    right: np.ndarray
+    disparity: np.ndarray         # (H, W) float32 GT left disparity
+    R: np.ndarray                 # (3, 3) world -> camera (left)
+    t: np.ndarray                 # (3,)
+
+
+@dataclasses.dataclass
+class SyntheticSequence:
+    rig: StereoRig
+    frames: List[SyntheticFrame]
+
+
+def default_rig(h: int = 240, w: int = 320) -> StereoRig:
+    cam = CameraConfig(width=w, height=h, fx=300.0, fy=300.0,
+                       cx=w / 2.0, cy=h / 2.0)
+    return StereoRig(left=cam, right=cam,
+                     R21=((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)),
+                     T21=(-0.12, 0.0, 0.0))
+
+
+def _render(K: np.ndarray, R: np.ndarray, t: np.ndarray,
+            plane_n: np.ndarray, plane_c: float,
+            h: int, w: int, seed: int):
+    """Render the plane n . X_w = c from camera (R, t): X_c = R X_w + t.
+    Returns (image, depth) with depth = Z in camera frame."""
+    jj, ii = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    Kinv = np.linalg.inv(K)
+    d = np.stack([jj, ii, np.ones_like(jj)], axis=-1) @ Kinv.T  # cam rays
+    # X_w = R^T (lam * d - t);  n . X_w = c
+    denom = (d @ R) @ plane_n              # n . (R^T d) per pixel
+    lam = (plane_c + plane_n @ (R.T @ t)) / denom
+    X_w = (lam[..., None] * d - t) @ R     # R^T (lam d - t)
+    img = _texture(X_w[..., 0], X_w[..., 1], rng_seed=seed)
+    depth = lam * d[..., 2]
+    return img.astype(np.float32), depth, X_w
+
+
+def make_sequence(n_frames: int = 3, h: int = 240, w: int = 320,
+                  seed: int = 7) -> SyntheticSequence:
+    """Stereo frames of a slanted textured plane under forward+lateral
+    motion with mild rotation. Disparity GT follows the reference's
+    convention GT_right_x = left_x - disparity (same row, rectified rig;
+    src/Stereo_Matches.cpp:159)."""
+    rig = default_rig(h, w)
+    K = rig.left.K
+    baseline = -rig.T21_np[0]
+
+    # plane: mildly slanted, ~4 m in front of the start pose
+    plane_n = np.array([0.15, -0.1, 1.0])
+    plane_n = plane_n / np.linalg.norm(plane_n)
+    plane_c = 4.0 * plane_n[2]
+
+    frames = []
+    for k in range(n_frames):
+        # camera trajectory: world -> camera
+        ang = 0.01 * k
+        Rz = np.array([[np.cos(ang), -np.sin(ang), 0.0],
+                       [np.sin(ang), np.cos(ang), 0.0],
+                       [0.0, 0.0, 1.0]])
+        angy = 0.008 * k
+        Ry = np.array([[np.cos(angy), 0.0, np.sin(angy)],
+                       [0.0, 1.0, 0.0],
+                       [-np.sin(angy), 0.0, np.cos(angy)]])
+        R = Rz @ Ry
+        t = np.array([-0.05 * k, 0.01 * k, -0.08 * k])
+
+        left, depth, _ = _render(K, R, t, plane_n, plane_c, h, w, seed)
+        # right camera: X_r = R21 X_l + T21 -> world->right = (R21 R, R21 t + T21)
+        Rr = rig.R21_np @ R
+        tr = rig.R21_np @ t + rig.T21_np
+        right, _, _ = _render(K, Rr, tr, plane_n, plane_c, h, w, seed)
+        disparity = (K[0, 0] * baseline / depth).astype(np.float32)
+        frames.append(SyntheticFrame(left=left, right=right,
+                                     disparity=disparity,
+                                     R=R.astype(np.float64),
+                                     t=t.astype(np.float64)))
+    return SyntheticSequence(rig=rig, frames=frames)

@@ -1,0 +1,196 @@
+"""Frame-level VO pipeline: the jitted equivalent of the reference FSM.
+
+The reference Pipeline (src/Pipeline.cpp:34-59) is a sequential state
+machine IMG_PREPARATION -> STEREO -> TEMPORAL -> POSE driven per frame.
+Here each transition group is one jit-compiled device program:
+
+  `stereo_step`    = undistort + gradients + TOED x2 + stereo cascade
+                     (prepare_Stereo_Images :64-107 +
+                      get_Stereo_Edge_Correspondences :109-145)
+  `temporal_step`  = quad cascade + RANSAC pose
+                     (get_Temporal_Edge_Correspondences :147-190 +
+                      get_Pose_From_Quad_Pairs :192-223)
+
+Host code only decodes images and carries the keyframe pytree between
+calls; there are no per-stage host syncs.
+
+Keyframing: the reference keeps exactly frame 0 as keyframe
+(src/Pipeline.cpp:133-137). We default to the same behavior and add an
+optional re-keyframing policy (new capability; see `VOPipeline.run_frame`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edge_based_visual_odometry_tpu import geometry as geom
+from edge_based_visual_odometry_tpu.config import StereoRig, VOConfig
+from edge_based_visual_odometry_tpu.models import motion_tracker as MT
+from edge_based_visual_odometry_tpu.models import stereo_matcher as SM
+from edge_based_visual_odometry_tpu.models import temporal_matcher as TM
+from edge_based_visual_odometry_tpu.models.types import FrameData, RigArrays, StereoMates
+from edge_based_visual_odometry_tpu.ops import image as IMG
+from edge_based_visual_odometry_tpu.ops import toed
+
+
+class FrameResult(NamedTuple):
+    frame: FrameData
+    mates: StereoMates
+    stereo_metrics: jnp.ndarray     # (n_stages, 4)
+    n_left_edges: jnp.ndarray
+    n_right_edges: jnp.ndarray
+
+
+class TemporalResult(NamedTuple):
+    quads: TM.TemporalQuads
+    temporal_metrics: jnp.ndarray   # (n_stages, 4)
+    R: jnp.ndarray                  # relative pose KF -> CF
+    t: jnp.ndarray
+    inlier_count: jnp.ndarray
+    inlier_ratio: jnp.ndarray
+    n_quads: jnp.ndarray
+    success: jnp.ndarray
+
+
+def build_stereo_step(rig: StereoRig, cfg: VOConfig, has_gt: bool):
+    """Returns jitted fn (left_u8, right_u8[, disparity]) -> FrameResult."""
+    rig_arrays = RigArrays.from_rig(rig)
+    dist_l = jnp.asarray(rig.left.distortion[:4], jnp.float32)
+    dist_r = jnp.asarray(rig.right.distortion[:4], jnp.float32)
+    need_undistort_l = any(abs(d) > 0 for d in rig.left.distortion[:4])
+    need_undistort_r = any(abs(d) > 0 for d in rig.right.distortion[:4])
+
+    @jax.jit
+    def step(left, right, disparity=None):
+        left = left.astype(jnp.float32)
+        right = right.astype(jnp.float32)
+        if need_undistort_l:
+            left = IMG.undistort(left, rig_arrays.K_left, dist_l)
+        if need_undistort_r:
+            right = IMG.undistort(right, rig_arrays.K_right, dist_r)
+        lgx, lgy = IMG.sobel_gradients(left)
+        rgx, rgy = IMG.sobel_gradients(right)
+        frame = FrameData(left=left, right=right, left_gx=lgx, left_gy=lgy,
+                          right_gx=rgx, right_gy=rgy)
+        led = toed.detect_edges(left, kernel_size=cfg.toed_kernel_size,
+                                sigma=cfg.toed_sigma,
+                                grad_mag_min=cfg.toed_grad_mag_min,
+                                max_edges=cfg.max_edges,
+                                border=cfg.toed_border)
+        red = toed.detect_edges(right, kernel_size=cfg.toed_kernel_size,
+                                sigma=cfg.toed_sigma,
+                                grad_mag_min=cfg.toed_grad_mag_min,
+                                max_edges=cfg.max_edges,
+                                border=cfg.toed_border)
+        mates, _, metrics = SM.match_stereo(
+            led, red, frame, rig_arrays, cfg,
+            disparity_map=disparity if has_gt else None)
+        return FrameResult(frame=frame, mates=mates, stereo_metrics=metrics,
+                           n_left_edges=led.count, n_right_edges=red.count)
+
+    if has_gt:
+        return step
+    return lambda l, r: step(l, r)
+
+
+def build_temporal_step(rig: StereoRig, cfg: VOConfig, use_gt: bool):
+    """Returns jitted fn (kf_mates, kf_frame, cf_mates, cf_frame,
+    rel_R, rel_t, seed) -> TemporalResult. rel_R/rel_t: KF->CF pose used
+    for quad prediction (GT in eval mode, predicted in production)."""
+    rig_arrays = RigArrays.from_rig(rig)
+
+    @jax.jit
+    def step(kf_mates, kf_frame, cf_mates, cf_frame, rel_R, rel_t, seed):
+        rel = geom.Pose(rel_R, rel_t)
+        quads, tmetrics = TM.match_temporal(
+            kf_mates, cf_mates, kf_frame, cf_frame, rel, rig_arrays, cfg,
+            use_gt=use_gt)
+        pq = MT.lift_quads(kf_mates, quads, rig_arrays, cfg, use_gt=use_gt)
+        res = MT.estimate_pose(pq, rig_arrays, cfg, seed)
+        return TemporalResult(
+            quads=quads, temporal_metrics=tmetrics,
+            R=res.R, t=res.t, inlier_count=res.inlier_count,
+            inlier_ratio=res.inlier_ratio, n_quads=res.n_quads,
+            success=res.success)
+
+    return step
+
+
+@dataclasses.dataclass
+class VOPipeline:
+    """Host-side driver carrying keyframe state across frames
+    (reference Pipeline class, include/Pipeline.h:31-198)."""
+
+    rig: StereoRig
+    cfg: VOConfig
+    has_gt_disparity: bool = False
+    use_gt_pose: bool = False
+    rekeyframe_min_inlier_ratio: float = 0.0   # 0 -> reference behavior
+
+    def __post_init__(self):
+        self._stereo_step = build_stereo_step(
+            self.rig, self.cfg, self.has_gt_disparity)
+        self._temporal_step = build_temporal_step(
+            self.rig, self.cfg, self.use_gt_pose)
+        self.keyframe: Optional[FrameResult] = None
+        self.kf_pose_gt: Optional[geom.Pose] = None      # world->cam GT
+        self.kf_pose_est = geom.Pose.identity()          # world->cam estimate
+        self.trajectory = []                             # per-frame (R, t) world->cam
+        self.frame_idx = 0
+        self.stereo_metrics_log = []
+        self.temporal_metrics_log = []
+        self.last_rel = geom.Pose.identity()             # previous KF->CF
+
+    def run_frame(self, left_img: np.ndarray, right_img: np.ndarray,
+                  disparity: Optional[np.ndarray] = None,
+                  gt_pose: Optional[geom.Pose] = None):
+        """Process one stereo frame; returns (FrameResult,
+        TemporalResult | None)."""
+        if self.has_gt_disparity:
+            fr = self._stereo_step(jnp.asarray(left_img),
+                                   jnp.asarray(right_img),
+                                   jnp.asarray(disparity))
+        else:
+            fr = self._stereo_step(jnp.asarray(left_img),
+                                   jnp.asarray(right_img))
+        if self.has_gt_disparity:
+            self.stereo_metrics_log.append(np.asarray(fr.stereo_metrics))
+
+        tr = None
+        if self.keyframe is None:
+            self._set_keyframe(fr, gt_pose)
+            self.trajectory.append(self.kf_pose_est)
+        else:
+            if self.use_gt_pose:
+                rel = geom.relative_pose(self.kf_pose_gt, gt_pose)
+            else:
+                rel = self.last_rel    # constant-position prediction
+            tr = self._temporal_step(
+                self.keyframe.mates, self.keyframe.frame,
+                fr.mates, fr.frame, rel.R, rel.t,
+                jnp.int32(self.cfg.ransac_seed + self.frame_idx))
+            if self.use_gt_pose:
+                self.temporal_metrics_log.append(
+                    np.asarray(tr.temporal_metrics))
+            rel_est = geom.Pose(tr.R, tr.t)
+            self.last_rel = rel_est
+            cam_pose = rel_est.compose(self.kf_pose_est)
+            self.trajectory.append(cam_pose)
+            if (self.rekeyframe_min_inlier_ratio > 0
+                    and float(tr.inlier_ratio)
+                    < self.rekeyframe_min_inlier_ratio):
+                self.kf_pose_est = cam_pose
+                self._set_keyframe(fr, gt_pose)
+                self.last_rel = geom.Pose.identity()
+        self.frame_idx += 1
+        return fr, tr
+
+    def _set_keyframe(self, fr: FrameResult, gt_pose: Optional[geom.Pose]):
+        self.keyframe = fr
+        self.kf_pose_gt = gt_pose

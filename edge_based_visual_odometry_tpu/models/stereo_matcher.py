@@ -1,0 +1,487 @@
+"""Stereo edge matching: the 11-stage filter cascade as masked tensor passes.
+
+TPU-native re-design of the reference's Stereo_Matches engine
+(src/Stereo_Matches.cpp:1360-1540 orchestration). The reference threads
+dynamically-sized candidate vectors through erase-based filters; here the
+state is one fixed-shape (N_left, MAX_CAND) candidate tensor with a
+monotone validity mask (SURVEY.md §7 "dynamic-shape elimination"), and each
+stage is a batched masked kernel:
+
+  stage 1  epipolar distance       (ref :381-419)  - at grid gathering
+  stage 2  max disparity           (ref :534-553)
+  stage 3  orientation             (ref :863-915)
+  stage 4  descriptor gate         (ref :655-787, SIFT -> our
+                                    gradient-histogram descriptor)
+  stage 5  NCC                     (ref :555-616)
+  stage 6  best/nearly-best NCC    (ref :789-862)
+  stage 7  best/nearly-best desc   (ref :789-862)
+  stage 8  epipolar shift          (ref :26-89, :967-1037)
+  stage 9  1-DoF photometric GN    (ref :1159-1358)
+  stage 10 clustering              (ref :1010-1035 -> ops/clustering.py)
+  stage 11 post-cluster NCC        (ref :1500)
+  stage 12 best-only pick          (ref :916-965)
+  cleanup  empty-row purge         (ref :1543-1576)
+
+GT supervision (veridical sets from GT disparity, per-stage
+recall/precision/ambiguity) mirrors Find_Stereo_GT_Locations /
+get_Stereo_Edge_GT_Pairs / Evaluate_Stereo_Edge_Correspondences
+(ref :133-379).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from edge_based_visual_odometry_tpu import geometry as geom
+from edge_based_visual_odometry_tpu.config import VOConfig
+from edge_based_visual_odometry_tpu.models.types import FrameData, RigArrays, StereoMates
+from edge_based_visual_odometry_tpu.ops import clustering as CL
+from edge_based_visual_odometry_tpu.ops import descriptors as DESC
+from edge_based_visual_odometry_tpu.ops import gauss_newton as GN
+from edge_based_visual_odometry_tpu.ops import grid as GRID
+from edge_based_visual_odometry_tpu.ops import patches as P
+from edge_based_visual_odometry_tpu.ops.toed import EdgeList
+
+# Stage names in cascade order (metric keys; reference stage labels at
+# Stereo_Matches.cpp:1382-1535).
+STAGE_NAMES = (
+    "Epipolar Proximity", "Location Proximity", "Orientation", "SIFT", "NCC",
+    "BNB-NCC", "BNB-SIFT", "Photometric Refinement", "Edge Clustering",
+    "NCC-Post", "Best", "Final",
+)
+
+
+class StereoState(NamedTuple):
+    """Cascade state: left focused-edge rows x candidate slots."""
+
+    # rows (N,)
+    row_mask: jnp.ndarray
+    lx: jnp.ndarray
+    ly: jnp.ndarray
+    ltheta: jnp.ndarray
+    epi_line: jnp.ndarray        # (N, 3)
+    gt_x: jnp.ndarray
+    gt_y: jnp.ndarray
+    gamma_gt_l: jnp.ndarray      # (N, 3)
+    gamma_gt_r: jnp.ndarray      # (N, 3)
+    # candidates (N, C)
+    cand_idx: jnp.ndarray        # right TOED index (pre-cluster semantics)
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    ctheta: jnp.ndarray
+    cmask: jnp.ndarray
+    ncc: jnp.ndarray             # refine_final_scores role
+    desc_dist: jnp.ndarray       # refine_confidences role
+
+
+def _metrics(state: StereoState, dist_to_gt: float):
+    """Per-stage recall/precision/ambiguity
+    (Evaluate_Stereo_Edge_Correspondences, Stereo_Matches.cpp:270-379)."""
+    d = jnp.sqrt((state.cx - state.gt_x[:, None]) ** 2
+                 + (state.cy - state.gt_y[:, None]) ** 2)
+    tp = state.cmask & (d <= dist_to_gt)
+    n_tp = jnp.sum(tp, axis=1)
+    n_cand = jnp.sum(state.cmask, axis=1)
+    has_cand = state.row_mask & (n_cand > 0)
+    rows = jnp.maximum(jnp.sum(state.row_mask), 1)
+    rows_with = jnp.maximum(jnp.sum(has_cand), 1)
+    prec_edge = jnp.where(n_cand > 0, n_tp / jnp.maximum(n_cand, 1), 0.0)
+    recall = jnp.sum(state.row_mask & (n_tp > 0)) / rows
+    precision = jnp.sum(jnp.where(state.row_mask, prec_edge, 0.0)) / rows
+    precision_pair = jnp.sum(jnp.where(has_cand, prec_edge, 0.0)) / rows_with
+    ambiguity = jnp.sum(jnp.where(has_cand, n_cand, 0)) / rows_with
+    return jnp.stack([recall, precision, precision_pair, ambiguity])
+
+
+def _scan_gather(data, idx):
+    """Memory-bounded gather data[idx] for (N, C) idx over (M, ...) data:
+    scans over candidate slots so only one (N, ...) slice is live at a
+    time (avoids materializing (N, C, ...) for wide payloads)."""
+    def step(_, idx_col):
+        return None, data[idx_col]
+    _, out = jax.lax.scan(step, None, idx.T)
+    # out: (C, N, ...) -> (N, C, ...)
+    return jnp.moveaxis(out, 0, 1)
+
+
+def _bnb_keep(scores, mask, ratio_thresh: float, higher_better: bool):
+    """Best/nearly-best streak filter (Stereo_Matches.cpp:789-862).
+
+    Sort candidates (best first), keep rank 0 plus every rank whose
+    ratio to the BEST passes the threshold, stopping at the first failure
+    (cumulative AND reproduces the reference's early break)."""
+    C = scores.shape[-1]
+    big = jnp.float32(3.4e38)
+    if higher_better:
+        key = jnp.where(mask, -scores, big)
+    else:
+        key = jnp.where(mask, scores, big)
+    order = jnp.argsort(key, axis=-1, stable=True)
+    s_sorted = jnp.take_along_axis(scores, order, axis=-1)
+    m_sorted = jnp.take_along_axis(mask, order, axis=-1)
+    best = s_sorted[..., 0:1]
+    if higher_better:
+        ratio = s_sorted / best
+    else:
+        ratio = best / s_sorted
+    ok = (ratio >= ratio_thresh) & m_sorted & (best != 0.0)
+    ok = ok.at[..., 0].set(m_sorted[..., 0])
+    keep_sorted = jnp.cumprod(ok.astype(jnp.int32), axis=-1).astype(bool)
+    # rows with < 2 candidates are untouched (ref :801)
+    n_cand = jnp.sum(mask, axis=-1, keepdims=True)
+    keep_sorted = jnp.where(n_cand < 2, m_sorted, keep_sorted)
+    # scatter keep flags back to original slot order
+    inv = jnp.argsort(order, axis=-1)
+    keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
+    return mask & keep
+
+
+def _epipolar_shift(state: StereoState, cfg: VOConfig):
+    """Shift candidates onto the epipolar line
+    (shift_Edge_to_Epipolar_Line, Stereo_Matches.cpp:26-89)."""
+    line = state.epi_line[:, None, :]
+    xy = jnp.stack([state.cx, state.cy], axis=-1)
+    foot, nd = geom.normal_foot_on_line(line, xy)
+    inter1, disp1 = geom.tangential_intersection_with_line(
+        line, xy, state.ctheta)
+    # orientation perturbation branch
+    a, b = line[..., 0], line[..., 1]
+    p_th = a * jnp.cos(state.ctheta) + b * jnp.sin(state.ctheta)
+    dp_th = -a * jnp.sin(state.ctheta) + b * jnp.cos(state.ctheta)
+    dtheta = jnp.where(dp_th > 0, cfg.orient_perturbation,
+                       jnp.where(dp_th < 0, -cfg.orient_perturbation, 0.0))
+    theta2 = state.ctheta + dtheta
+    inter2, disp2 = geom.tangential_intersection_with_line(line, xy, theta2)
+
+    case_a = nd < cfg.location_perturbation
+    case_b = ~case_a & (disp1 < cfg.epip_tangency_displ_thresh)
+    case_c = (~case_a & ~case_b
+              & (disp2 < cfg.epip_tangency_displ_thresh))
+
+    new_xy = jnp.where(case_a[..., None], foot,
+                       jnp.where(case_b[..., None], inter1,
+                                 jnp.where(case_c[..., None], inter2, xy)))
+    new_theta = jnp.where(case_c, theta2, state.ctheta)
+    return state._replace(cx=new_xy[..., 0], cy=new_xy[..., 1],
+                          ctheta=new_theta)
+
+
+def _flatten_active(cmask, max_pairs: int):
+    """Compact active (row, slot) pairs to a flat list.
+    Returns (rows, slots, fmask) each (max_pairs,)."""
+    N, C = cmask.shape
+    flat = cmask.reshape(-1)
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    tgt = jnp.where(flat, pos, max_pairs)
+    lin = jnp.arange(N * C, dtype=jnp.int32)
+    slot_of = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(
+        lin, mode="drop")
+    n_active = jnp.minimum(pos[-1] + 1, max_pairs)
+    fmask = jnp.arange(max_pairs, dtype=jnp.int32) < n_active
+    rows = slot_of // C
+    slots = slot_of % C
+    return rows, slots, fmask
+
+
+def _scatter_back(template, rows, slots, fmask, values):
+    """Scatter flat values back into an (N, C) tensor."""
+    N, C = template.shape
+    lin = rows * C + slots
+    lin = jnp.where(fmask, lin, N * C)
+    flatt = template.reshape(-1)
+    out = flatt.at[lin].set(values, mode="drop")
+    return out.reshape(N, C)
+
+
+def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
+                 frame: FrameData, rig: RigArrays, cfg: VOConfig,
+                 disparity_map: Optional[jnp.ndarray] = None):
+    """Run the full stereo cascade.
+
+    Returns (StereoMates, StereoState, metrics) where metrics is a
+    (n_stages, 4) array of [recall, precision, precision_pair, ambiguity]
+    per stage (all zeros without GT), row-indexed by STAGE_NAMES.
+    """
+    has_gt = disparity_map is not None
+    N = cfg.max_edges
+    C = cfg.max_candidates
+    H, W = frame.left.shape
+
+    lx, ly, lt = left_edges.x, left_edges.y, left_edges.theta
+    row_mask = left_edges.valid
+    epi = geom.epipolar_lines(rig.F21, jnp.stack([lx, ly], -1))
+
+    # ---- GT supervision path (Find_Stereo_GT_Locations, ref :133-200) ----
+    if has_gt:
+        disp, disp_ok = P.bilinear_sample_nan(disparity_map, lx, ly)
+        deg = geom.rad2deg(lt)
+        orient_excl = ((jnp.abs(deg) < cfg.gt_orient_exclusion_deg)
+                       | (jnp.abs(deg - 180.0) < cfg.gt_orient_exclusion_deg)
+                       | (jnp.abs(deg + 180.0) < cfg.gt_orient_exclusion_deg))
+        gt_ok = disp_ok & jnp.isfinite(disp) & (disp >= 0) & ~orient_excl
+        gt_x = jnp.where(gt_ok, lx - disp, -1.0)
+        gt_y = jnp.where(gt_ok, ly, -1.0)
+        ray1 = geom.pixel_to_ray(rig.K_left_inv, jnp.stack([lx, ly], -1))
+        ray2 = geom.pixel_to_ray(rig.K_left_inv, jnp.stack([gt_x, gt_y], -1))
+        gamma_l = geom.backproject_two_rays(rig.R21, rig.T21, ray1, ray2)
+        gamma_r = jnp.einsum("ij,nj->ni", rig.R21, gamma_l) + rig.T21
+        row_mask = row_mask & gt_ok
+    else:
+        gt_x = jnp.full((N,), -1.0, jnp.float32)
+        gt_y = jnp.full((N,), -1.0, jnp.float32)
+        gamma_l = jnp.full((N, 3), -1.0, jnp.float32)
+        gamma_r = jnp.full((N, 3), -1.0, jnp.float32)
+
+    # ---- right-edge spatial index ----
+    rgrid = GRID.build_sorted_grid(right_edges.x, right_edges.y,
+                                   right_edges.valid, W, H, band_h=8)
+
+    # ---- veridical sets (get_Stereo_Edge_GT_Pairs, ref :202-268) ----
+    if has_gt:
+        vidx, vmask = GRID.query_sorted_grid(
+            rgrid, gt_x, gt_y, rx=cfg.gt_pair_dist_tol + 0.5,
+            ry=cfg.gt_pair_dist_tol + 0.5, slots_per_band=16, n_band_window=2)
+        v_x = right_edges.x[vidx]
+        v_y = right_edges.y[vidx]
+        v_t = right_edges.theta[vidx]
+        v_epi = geom.point_line_distance(epi[:, None, :],
+                                         jnp.stack([v_x, v_y], -1))
+        v_d = jnp.sqrt((v_x - gt_x[:, None]) ** 2 + (v_y - gt_y[:, None]) ** 2)
+        # raw (unwrapped) orientation difference, ref :124
+        v_dth = jnp.abs(geom.rad2deg(v_t) - geom.rad2deg(lt)[:, None])
+        vmask = (vmask & (v_epi < cfg.epipolar_line_dist_thresh)
+                 & (v_d < cfg.gt_pair_dist_tol)
+                 & (v_dth < cfg.gt_pair_orient_tol))
+        row_mask = row_mask & jnp.any(vmask, axis=1)
+
+    # ---- stage 1: epipolar candidates (ref :381-419) ----
+    gidx, gmask = GRID.query_sorted_grid(
+        rgrid, lx, ly, rx=cfg.max_disparity + 1.5, ry=4.0,
+        slots_per_band=cfg.gather_slots // 2, n_band_window=2)
+    g_x = right_edges.x[gidx]
+    g_y = right_edges.y[gidx]
+    g_epi = geom.point_line_distance(epi[:, None, :],
+                                     jnp.stack([g_x, g_y], -1))
+    gmask = gmask & (g_epi < cfg.epipolar_line_dist_thresh) & row_mask[:, None]
+    cand_idx, cmask = GRID.compact_candidates(
+        gidx, gmask, C, priority=g_epi)
+
+    state = StereoState(
+        row_mask=row_mask, lx=lx, ly=ly, ltheta=lt, epi_line=epi,
+        gt_x=gt_x, gt_y=gt_y, gamma_gt_l=gamma_l, gamma_gt_r=gamma_r,
+        cand_idx=cand_idx,
+        cx=right_edges.x[cand_idx], cy=right_edges.y[cand_idx],
+        ctheta=right_edges.theta[cand_idx], cmask=cmask,
+        ncc=jnp.zeros((N, C), jnp.float32),
+        desc_dist=jnp.full((N, C), 2.0 * cfg.sift_threshold, jnp.float32),
+    )
+
+    metrics = []
+    def record(st):
+        metrics.append(_metrics(st, cfg.dist_to_gt_thresh) if has_gt
+                       else jnp.zeros((4,), jnp.float32))
+
+    record(state)
+
+    # ---- stage 2: max disparity (ref :534-553) ----
+    d = jnp.sqrt((state.cx - lx[:, None]) ** 2 + (state.cy - ly[:, None]) ** 2)
+    state = state._replace(cmask=state.cmask & (d <= cfg.max_disparity))
+    record(state)
+
+    # ---- stage 3: orientation (ref :863-915) ----
+    dth = geom.orientation_diff_deg(lt[:, None], state.ctheta)
+    state = state._replace(cmask=state.cmask & geom.orientation_gate(
+        dth, cfg.orientation_thresh_deg))
+    record(state)
+
+    # ---- descriptors for all edges (augment_Edge_Data, ref :655-689) ----
+    l_desc = DESC.edge_descriptors(
+        frame.left_gx, frame.left_gy, lx, ly, lt,
+        shift_mag=cfg.sift_shift_mag, n_samples=cfg.desc_patch_samples,
+        n_spatial=cfg.desc_spatial_bins, n_orient=cfg.desc_orient_bins,
+        spacing=cfg.desc_sample_spacing, clip=cfg.desc_clip,
+        scale=cfg.desc_scale)
+    r_desc = DESC.edge_descriptors(
+        frame.right_gx, frame.right_gy, right_edges.x, right_edges.y,
+        right_edges.theta,
+        shift_mag=cfg.sift_shift_mag, n_samples=cfg.desc_patch_samples,
+        n_spatial=cfg.desc_spatial_bins, n_orient=cfg.desc_orient_bins,
+        spacing=cfg.desc_sample_spacing, clip=cfg.desc_clip,
+        scale=cfg.desc_scale)
+
+    # ---- stage 4: descriptor gate (ref :691-787) ----
+    cand_desc = _scan_gather(r_desc, state.cand_idx)   # (N, C, 2, D)
+    ddist = DESC.min_cross_distance(l_desc[:, None], cand_desc)
+    state = state._replace(
+        cmask=state.cmask & (ddist < cfg.sift_threshold),
+        desc_dist=ddist)
+    record(state)
+
+    # ---- patches for NCC (get_edge_patches, utility.cpp:182-212) ----
+    lp_p, lp_m, lok_p, lok_m = P.edge_patches(
+        frame.left, lx, ly, lt, cfg.patch_size, cfg.orthogonal_shift_mag)
+    l_patches = jnp.stack([lp_p, lp_m], axis=1)        # (N, 2, 49)
+    l_patch_ok = jnp.stack([lok_p, lok_m], axis=1)
+    rp_p, rp_m, rok_p, rok_m = P.edge_patches(
+        frame.right, right_edges.x, right_edges.y, right_edges.theta,
+        cfg.patch_size, cfg.orthogonal_shift_mag)
+    r_patches = jnp.stack([rp_p, rp_m], axis=1)
+    r_patch_ok = jnp.stack([rok_p, rok_m], axis=1)
+
+    # ---- stage 5: NCC (ref :555-616) ----
+    c_patches = _scan_gather(r_patches, state.cand_idx)  # (N, C, 2, 49)
+    c_patch_ok = _scan_gather(r_patch_ok, state.cand_idx)
+    sim = P.ncc4(l_patches[:, None, 0], l_patches[:, None, 1],
+                 l_patch_ok[:, None, 0], l_patch_ok[:, None, 1],
+                 c_patches[:, :, 0], c_patches[:, :, 1],
+                 c_patch_ok[:, :, 0], c_patch_ok[:, :, 1])
+    state = state._replace(cmask=state.cmask & (sim > cfg.ncc_thresh),
+                           ncc=sim)
+    record(state)
+
+    # ---- stage 6/7: best-nearly-best (ref :789-862) ----
+    state = state._replace(cmask=_bnb_keep(
+        state.ncc, state.cmask, cfg.bnb_ncc, higher_better=True))
+    record(state)
+    state = state._replace(cmask=_bnb_keep(
+        state.desc_dist, state.cmask, cfg.bnb_sift, higher_better=False))
+    record(state)
+
+    # ---- stage 8: epipolar shift (ref :967-1008, consolidate shift) ----
+    state = _epipolar_shift(state, cfg)
+
+    # ---- stage 9: photometric GN along epipolar (ref :1159-1358) ----
+    rows, slots, fmask = _flatten_active(state.cmask, cfg.max_refine_pairs)
+    epi_dir = jnp.stack([-state.epi_line[:, 1], state.epi_line[:, 0]], -1)
+    epi_dir = epi_dir / jnp.linalg.norm(epi_dir, axis=-1, keepdims=True)
+    f_ref = jax.vmap(
+        lambda r, c: GN.refine_along_epipolar(
+            frame.left, frame.right, frame.right_gx, frame.right_gy,
+            state.lx[r], state.ly[r], state.ltheta[r],
+            state.cx[r, c], state.cy[r, c], epi_dir[r],
+            patch_size=cfg.patch_size, max_iter=cfg.gn_max_iter,
+            tol=cfg.gn_tol, huber_delta=cfg.huber_delta))
+    res = f_ref(rows, slots)
+    shift_x = res.delta * epi_dir[rows, 0]
+    shift_y = res.delta * epi_dir[rows, 1]
+    state = state._replace(
+        cx=_scatter_back(state.cx, rows, slots, fmask,
+                         state.cx[rows, slots] + shift_x),
+        cy=_scatter_back(state.cy, rows, slots, fmask,
+                         state.cy[rows, slots] + shift_y),
+        ncc=_scatter_back(state.ncc, rows, slots, fmask, res.score),
+        desc_dist=_scatter_back(state.desc_dist, rows, slots, fmask,
+                                res.confidence))
+    record(state)
+
+    # ---- stage 10: clustering (ref :1483 -> EdgeClusterer; stereo path
+    #      clusters WITHOUT the orientation gate, EdgeClusterer ctor arg
+    #      b_cluster_by_orientation = b_do_epipolar_shift = false) ----
+    cl = CL.cluster_edges(state.cx, state.cy, state.ctheta, state.cmask,
+                          dist_thresh=cfg.cluster_dist_thresh,
+                          orient_thresh_deg=cfg.cluster_orient_thresh,
+                          by_orientation=False,
+                          gauss_sigma=cfg.cluster_orient_gauss_sigma)
+    state = state._replace(cx=jnp.where(cl.mask, cl.x, state.cx),
+                           cy=jnp.where(cl.mask, cl.y, state.cy),
+                           ctheta=jnp.where(cl.mask, cl.theta, state.ctheta),
+                           cmask=cl.mask)
+    record(state)
+
+    # ---- stage 11: post-cluster NCC at new centers (ref :1500) ----
+    rows, slots, fmask = _flatten_active(state.cmask, cfg.max_refine_pairs)
+    fx = state.cx[rows, slots]
+    fy = state.cy[rows, slots]
+    ft = state.ctheta[rows, slots]
+    pp, pm, okp, okm = P.edge_patches(
+        frame.right, fx, fy, ft, cfg.patch_size, cfg.orthogonal_shift_mag)
+    sim_f = P.ncc4(l_patches[rows, 0], l_patches[rows, 1],
+                   l_patch_ok[rows, 0], l_patch_ok[rows, 1],
+                   pp, pm, okp, okm)
+    sim_full = _scatter_back(jnp.full_like(state.ncc, -1.0),
+                             rows, slots, fmask, sim_f)
+    state = state._replace(
+        cmask=state.cmask & (sim_full > cfg.ncc_thresh), ncc=sim_full)
+    record(state)
+
+    # ---- stage 12: best-only pick (apply_Lowe_Ratio_Test, ref :916-965) ----
+    best_slot = jnp.argmax(jnp.where(state.cmask, state.ncc, -jnp.inf), axis=1)
+    only_best = (jax.lax.broadcasted_iota(jnp.int32, (N, C), 1)
+                 == best_slot[:, None])
+    state = state._replace(cmask=state.cmask & only_best)
+    record(state)
+
+    # ---- cleanup (remove_empty_clusters, ref :1543-1576) ----
+    state = state._replace(row_mask=state.row_mask & jnp.any(state.cmask, 1))
+    record(state)
+
+    # ---- finalize (finalize_stereo_edge_mates, ref :1578-1653) ----
+    mates = _finalize(state, frame, rig, cfg, l_patches, l_patch_ok, l_desc,
+                      best_slot)
+    return mates, state, jnp.stack(metrics)
+
+
+def _finalize(state: StereoState, frame: FrameData, rig: RigArrays,
+              cfg: VOConfig, l_patches, l_patch_ok, l_desc, best_slot):
+    N = cfg.max_edges
+    M = cfg.max_mates
+    alive = state.row_mask
+    pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    tgt = jnp.where(alive, pos, M)
+    count = jnp.minimum(pos[-1] + 1, M).astype(jnp.int32)
+    row_of = jnp.zeros((M,), jnp.int32).at[tgt].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop")
+    valid = jnp.arange(M, dtype=jnp.int32) < count
+
+    bs = best_slot[row_of]
+    rx = state.cx[row_of, bs]
+    ry = state.cy[row_of, bs]
+    rt = state.ctheta[row_of, bs]
+    lx = state.lx[row_of]
+    ly = state.ly[row_of]
+    lt = state.ltheta[row_of]
+
+    # right patches at final positions (ref :1622)
+    pp, pm, okp, okm = P.edge_patches(
+        frame.right, rx, ry, rt, cfg.patch_size, cfg.orthogonal_shift_mag)
+    r_patches = jnp.stack([pp, pm], axis=1)
+    r_patch_ok = jnp.stack([okp, okm], axis=1)
+
+    # right descriptors at final positions (ref :1627-1635)
+    r_desc = DESC.edge_descriptors(
+        frame.right_gx, frame.right_gy, rx, ry, rt,
+        shift_mag=cfg.sift_shift_mag, n_samples=cfg.desc_patch_samples,
+        n_spatial=cfg.desc_spatial_bins, n_orient=cfg.desc_orient_bins,
+        spacing=cfg.desc_sample_spacing, clip=cfg.desc_clip,
+        scale=cfg.desc_scale)
+
+    # production 3D point: two-ray backprojection of the matched pair
+    # (the pose stage re-derives exactly this, MotionTracker.cpp:34-47)
+    ray1 = geom.pixel_to_ray(rig.K_left_inv, jnp.stack([lx, ly], -1))
+    ray2 = geom.pixel_to_ray(rig.K_right_inv, jnp.stack([rx, ry], -1))
+    gamma = geom.backproject_two_rays(rig.R21, rig.T21, ray1, ray2)
+
+    gt_x = state.gt_x[row_of]
+    gt_y = state.gt_y[row_of]
+    d_gt = jnp.sqrt((rx - gt_x) ** 2 + (ry - gt_y) ** 2)
+    is_tp = valid & (gt_x >= 0) & (d_gt <= cfg.dist_to_gt_thresh)
+
+    z = lambda a: jnp.where(valid, a, 0.0)
+    return StereoMates(
+        left_x=z(lx), left_y=z(ly), left_theta=z(lt),
+        right_x=z(rx), right_y=z(ry), right_theta=z(rt),
+        left_patches=l_patches[row_of] * valid[:, None, None],
+        right_patches=r_patches * valid[:, None, None],
+        left_patch_ok=l_patch_ok[row_of] & valid[:, None],
+        right_patch_ok=r_patch_ok & valid[:, None],
+        left_desc=l_desc[row_of] * valid[:, None, None],
+        right_desc=r_desc * valid[:, None, None],
+        gamma=gamma * valid[:, None],
+        gamma_gt=state.gamma_gt_l[row_of] * valid[:, None],
+        gt_x=jnp.where(valid, gt_x, -1.0), gt_y=jnp.where(valid, gt_y, -1.0),
+        is_tp=is_tp, valid=valid, count=count,
+    )

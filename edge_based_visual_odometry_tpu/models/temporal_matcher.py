@@ -1,0 +1,305 @@
+"""Temporal quad matching: KF stereo mates <-> CF stereo mates.
+
+TPU-native re-design of the reference's Temporal_Matches engine
+(src/Temporal_Matches.cpp). A "quad" associates one keyframe stereo edge
+mate with one current-frame stereo edge mate (4 edges of one 3D point).
+The reference builds pointer-linked Candidate_Quad_Entry lists; here the
+state is a fixed-shape (M_kf, MAX_QUAD_CAND) tensor keyed by CF mate index.
+
+Cascade (get_Temporal_Edge_Pairs_from_Quads, ref :168-218):
+  grid gathering radius 30 around the KF edge locations  (ref :335-383)
+  orientation both sides 10 deg                           (ref :385-414)
+  NCC both sides > 0.8 from stored patches                (ref :416-469)
+  descriptor both sides < 200 from stored descriptors     (ref :471-515)
+  best/nearly-best on NCC then descriptor (left scores)   (ref :517-570)
+  2-DoF photometric GN both sides                         (ref :572-634)
+  clustering of left centers + right-side averaging       (ref :636-733)
+
+Veridical quads for evaluation project the KF 3D point with the GT
+relative pose and transport the 3D tangent for orientation prediction
+(build_Veridical_Quads ref :57-166, orientation_mapping ref :294-333);
+the production path uses the same machinery with a predicted pose.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from edge_based_visual_odometry_tpu import geometry as geom
+from edge_based_visual_odometry_tpu.config import VOConfig
+from edge_based_visual_odometry_tpu.models.types import FrameData, RigArrays, StereoMates
+from edge_based_visual_odometry_tpu.ops import clustering as CL
+from edge_based_visual_odometry_tpu.ops import descriptors as DESC
+from edge_based_visual_odometry_tpu.ops import gauss_newton as GN
+from edge_based_visual_odometry_tpu.ops import grid as GRID
+from edge_based_visual_odometry_tpu.ops import patches as P
+
+TEMPORAL_STAGE_NAMES = (
+    "Location Proximity", "Orientation", "NCC", "SIFT",
+    "BNB-NCC", "BNB-SIFT", "Photometric Refinement", "Edge Clustering",
+)
+
+
+class TemporalQuads(NamedTuple):
+    """Fixed-shape quad candidate state. Rows align with KF mate slots."""
+
+    row_mask: jnp.ndarray       # (M,) KF mates participating
+    # GT/predicted projections of the KF 3D point into the CF (eval +
+    # veridical bookkeeping; ref KF_Temporal_Edge_Quads :17-30)
+    proj_left: jnp.ndarray      # (M, 2)
+    proj_right: jnp.ndarray     # (M, 2)
+    proj_theta_l: jnp.ndarray   # (M,)
+    proj_theta_r: jnp.ndarray   # (M,)
+    has_veridical: jnp.ndarray  # (M,) bool: >= 1 veridical CF mate exists
+    # candidates (M, Cq): CF mate index + left/right cluster centers
+    cf_idx: jnp.ndarray
+    lcx: jnp.ndarray
+    lcy: jnp.ndarray
+    lct: jnp.ndarray
+    rcx: jnp.ndarray
+    rcy: jnp.ndarray
+    rct: jnp.ndarray
+    cmask: jnp.ndarray
+    ncc_l: jnp.ndarray          # left-side NCC score (BNB key)
+    desc_l: jnp.ndarray         # left-side descriptor distance
+
+
+def _quad_metrics(q: TemporalQuads, kf_is_tp, dist_thresh: float):
+    """Evaluate_Temporal_Edge_Pairs_on_Quads (ref :220-292). Rows counted
+    only where the KF mate is a true positive."""
+    rows = q.row_mask & kf_is_tp
+    dl = jnp.sqrt((q.lcx - q.proj_left[:, 0:1]) ** 2
+                  + (q.lcy - q.proj_left[:, 1:2]) ** 2)
+    dr = jnp.sqrt((q.rcx - q.proj_right[:, 0:1]) ** 2
+                  + (q.rcy - q.proj_right[:, 1:2]) ** 2)
+    tp = q.cmask & (dl < dist_thresh) & (dr < dist_thresh)
+    n_tp = jnp.sum(tp, 1)
+    n_c = jnp.sum(q.cmask, 1)
+    has_c = rows & (n_c > 0)
+    n_rows = jnp.maximum(jnp.sum(rows), 1)
+    n_rows_c = jnp.maximum(jnp.sum(has_c), 1)
+    recall = jnp.sum(rows & (n_tp > 0)) / n_rows
+    precision = jnp.sum(
+        jnp.where(has_c, n_tp / jnp.maximum(n_c, 1), 0.0)) / n_rows_c
+    ambiguity = jnp.sum(jnp.where(has_c, n_c, 0)) / n_rows_c - 1.0
+    return jnp.stack([recall, precision, precision, ambiguity])
+
+
+def _project_kf_points(kf: StereoMates, rel: geom.Pose, rig: RigArrays,
+                       use_gt_gamma: bool):
+    """Project KF 3D points + transported tangents into the CF
+    (build_Veridical_Quads ref :78-96, orientation_mapping ref :294-333)."""
+    gamma = kf.gamma_gt if use_gt_gamma else kf.gamma
+    g_cf_l = rel.transform(gamma)
+    pl = geom.project(rig.K_left, g_cf_l)
+    g_cf_r = jnp.einsum("ij,nj->ni", rig.R21, g_cf_l) + rig.T21
+    pr = geom.project(rig.K_right, g_cf_r)
+
+    # 3D tangent from the KF stereo pair; note the reference uses the LEFT
+    # K inverse for both sides here (ref :304-310 uses per-camera K; the
+    # pose stage at MotionTracker.cpp:36 uses left-only; we follow
+    # orientation_mapping and use per-camera K).
+    g1 = geom.pixel_to_ray(rig.K_left_inv, jnp.stack([kf.left_x, kf.left_y], -1))
+    g2 = geom.pixel_to_ray(rig.K_right_inv, jnp.stack([kf.right_x, kf.right_y], -1))
+    t1 = geom.theta_to_ray_tangent(rig.K_left_inv, kf.left_theta)
+    t2 = geom.theta_to_ray_tangent(rig.K_right_inv, kf.right_theta)
+    T1 = geom.reconstruct_3d_tangent(rig.R21, g1, g2, t1, t2)
+    T2_l = rel.rotate(T1)
+    T2_r = jnp.einsum("ij,nj->ni", rig.R21, T2_l)
+    gl = geom.pixel_to_ray(rig.K_left_inv, pl)
+    gr = geom.pixel_to_ray(rig.K_right_inv, pr)
+    tl = geom.project_3d_tangent_to_2d(T2_l, gl)
+    tr = geom.project_3d_tangent_to_2d(T2_r, gr)
+    th_l = jnp.arctan2(tl[..., 1], tl[..., 0])
+    th_r = jnp.arctan2(tr[..., 1], tr[..., 0])
+    return pl, pr, th_l, th_r
+
+
+def match_temporal(kf: StereoMates, cf: StereoMates,
+                   kf_frame: FrameData, cf_frame: FrameData,
+                   rel_pose: geom.Pose, rig: RigArrays, cfg: VOConfig,
+                   use_gt: bool):
+    """Run the quad cascade. rel_pose: KF->CF relative pose (GT in eval
+    mode, predicted in production). Returns (TemporalQuads, metrics) with
+    metrics (n_stages, 4) rows aligned to TEMPORAL_STAGE_NAMES."""
+    M = cfg.max_mates
+    Cq = cfg.max_quad_candidates
+    H, W = cf_frame.left.shape
+    margin = 10.0
+
+    pl, pr, th_l, th_r = _project_kf_points(kf, rel_pose, rig,
+                                            use_gt_gamma=use_gt)
+    in_img = ((pl[:, 0] > margin) & (pl[:, 1] > margin)
+              & (pl[:, 0] < W - margin) & (pl[:, 1] < H - margin)
+              & (pr[:, 0] > margin) & (pr[:, 1] > margin)
+              & (pr[:, 0] < W - margin) & (pr[:, 1] < H - margin))
+
+    # CF mate spatial indices over left and right edge locations
+    lgrid = GRID.build_sorted_grid(cf.left_x, cf.left_y, cf.valid, W, H,
+                                   band_h=16)
+    rgrid_sorted = GRID.build_sorted_grid(cf.right_x, cf.right_y, cf.valid,
+                                          W, H, band_h=16)
+
+    # ---- veridical quads (ref :57-166): exact distance < 2 px both sides
+    # + orientation gates vs the transported orientation ----
+    r_v = cfg.dist_to_gt_thresh_quads + 1.0
+    vwin = int(-(-2 * r_v // 16)) + 1
+    vidx, vmask = GRID.query_sorted_grid(lgrid, pl[:, 0], pl[:, 1],
+                                         rx=r_v, ry=r_v,
+                                         slots_per_band=8, n_band_window=vwin)
+    v_dl = jnp.sqrt((cf.left_x[vidx] - pl[:, 0:1]) ** 2
+                    + (cf.left_y[vidx] - pl[:, 1:2]) ** 2)
+    v_dr = jnp.sqrt((cf.right_x[vidx] - pr[:, 0:1]) ** 2
+                    + (cf.right_y[vidx] - pr[:, 1:2]) ** 2)
+    v_ol = geom.orientation_diff_deg(th_l[:, None], cf.left_theta[vidx])
+    v_or = geom.orientation_diff_deg(th_r[:, None], cf.right_theta[vidx])
+    vmask = (vmask & cf.valid[vidx]
+             & (v_dl < cfg.dist_to_gt_thresh_quads)
+             & (v_dr < cfg.dist_to_gt_thresh_quads)
+             & geom.orientation_gate(v_ol, cfg.veridical_orient_thresh_deg)
+             & geom.orientation_gate(v_or, cfg.veridical_orient_thresh_deg))
+    has_verid = jnp.any(vmask, axis=1)
+
+    row_mask = kf.valid & in_img
+    if use_gt:
+        # the reference only keeps KF rows that formed veridical quads
+        # (thread_quads push condition, ref :146-156)
+        row_mask = row_mask & has_verid
+
+    # ---- candidate gathering around the KF edge locations, radius 30
+    # (apply_spatial_grid_filtering_quads ref :335-383); left AND right box
+    # membership = the reference's left/right cell-set intersection ----
+    r_g = cfg.temporal_grid_radius
+    gwin = int(-(-2 * r_g // 16)) + 1
+    gidx, gmask = GRID.query_sorted_grid(
+        lgrid, kf.left_x, kf.left_y, rx=r_g, ry=r_g,
+        slots_per_band=cfg.quad_gather_slots // gwin, n_band_window=gwin)
+    g_rdx = jnp.abs(cf.right_x[gidx] - kf.right_x[:, None])
+    g_rdy = jnp.abs(cf.right_y[gidx] - kf.right_y[:, None])
+    gmask = (gmask & cf.valid[gidx] & row_mask[:, None]
+             & (g_rdx <= r_g) & (g_rdy <= r_g))
+    cf_idx, cmask = GRID.compact_candidates(gidx, gmask, Cq)
+
+    q = TemporalQuads(
+        row_mask=row_mask, proj_left=pl, proj_right=pr,
+        proj_theta_l=th_l, proj_theta_r=th_r, has_veridical=has_verid,
+        cf_idx=cf_idx,
+        lcx=cf.left_x[cf_idx], lcy=cf.left_y[cf_idx], lct=cf.left_theta[cf_idx],
+        rcx=cf.right_x[cf_idx], rcy=cf.right_y[cf_idx], rct=cf.right_theta[cf_idx],
+        cmask=cmask,
+        ncc_l=jnp.full((M, Cq), -1.0, jnp.float32),
+        desc_l=jnp.full((M, Cq), 900.0, jnp.float32),
+    )
+
+    metrics = []
+    def record(qq):
+        metrics.append(_quad_metrics(qq, kf.is_tp, cfg.dist_to_gt_thresh_quads)
+                       if use_gt else jnp.zeros((4,), jnp.float32))
+    record(q)
+
+    # ---- orientation both sides (ref :385-414) ----
+    ol = geom.orientation_diff_deg(kf.left_theta[:, None], q.lct)
+    orr = geom.orientation_diff_deg(kf.right_theta[:, None], q.rct)
+    q = q._replace(cmask=q.cmask
+                   & geom.orientation_gate(ol, cfg.temporal_orient_thresh_deg)
+                   & geom.orientation_gate(orr, cfg.temporal_orient_thresh_deg))
+    record(q)
+
+    # ---- NCC both sides from stored patches (ref :416-469) ----
+    def side_ncc(kf_patches, kf_ok, cf_patches, cf_ok):
+        cpat = cf_patches[q.cf_idx]        # (M, Cq, 2, 49)
+        cok = cf_ok[q.cf_idx]
+        return P.ncc4(kf_patches[:, None, 0], kf_patches[:, None, 1],
+                      kf_ok[:, None, 0], kf_ok[:, None, 1],
+                      cpat[:, :, 0], cpat[:, :, 1],
+                      cok[:, :, 0], cok[:, :, 1])
+    sim_l = side_ncc(kf.left_patches, kf.left_patch_ok,
+                     cf.left_patches, cf.left_patch_ok)
+    sim_r = side_ncc(kf.right_patches, kf.right_patch_ok,
+                     cf.right_patches, cf.right_patch_ok)
+    q = q._replace(cmask=q.cmask & (sim_l > cfg.temporal_ncc_thresh)
+                   & (sim_r > cfg.temporal_ncc_thresh),
+                   ncc_l=sim_l)
+    record(q)
+
+    # ---- descriptor both sides from stored descriptors (ref :471-515) ----
+    dl = DESC.min_cross_distance(kf.left_desc[:, None], cf.left_desc[q.cf_idx])
+    dr = DESC.min_cross_distance(kf.right_desc[:, None], cf.right_desc[q.cf_idx])
+    q = q._replace(cmask=q.cmask & (dl < cfg.temporal_sift_thresh)
+                   & (dr < cfg.temporal_sift_thresh),
+                   desc_l=dl)
+    record(q)
+
+    # ---- BNB on left-side scores (ref :517-570) ----
+    from edge_based_visual_odometry_tpu.models.stereo_matcher import _bnb_keep
+    q = q._replace(cmask=_bnb_keep(q.ncc_l, q.cmask, cfg.temporal_bnb_ratio,
+                                   higher_better=True))
+    record(q)
+    q = q._replace(cmask=_bnb_keep(q.desc_l, q.cmask, cfg.temporal_bnb_ratio,
+                                   higher_better=False))
+    record(q)
+
+    # ---- 2-DoF photometric refinement, both sides (ref :572-634) ----
+    from edge_based_visual_odometry_tpu.models.stereo_matcher import (
+        _flatten_active, _scatter_back)
+    rows, slots, fmask = _flatten_active(q.cmask, cfg.max_refine_pairs)
+
+    def refine_side(kf_img, cf_img, cf_gx, cf_gy, kx, ky, kt, ccx, ccy, cct):
+        f = jax.vmap(lambda r, c: GN.refine_2dof(
+            kf_img, cf_img, cf_gx, cf_gy,
+            kx[r], ky[r], kt[r], ccx[r, c], ccy[r, c], cct[r, c],
+            patch_size=cfg.patch_size, max_iter=cfg.gn_max_iter,
+            tol=cfg.gn_tol, huber_delta=cfg.temporal_huber_delta))
+        return f(rows, slots)
+
+    res_l = refine_side(kf_frame.left, cf_frame.left,
+                        cf_frame.left_gx, cf_frame.left_gy,
+                        kf.left_x, kf.left_y, kf.left_theta,
+                        q.lcx, q.lcy, q.lct)
+    res_r = refine_side(kf_frame.right, cf_frame.right,
+                        cf_frame.right_gx, cf_frame.right_gy,
+                        kf.right_x, kf.right_y, kf.right_theta,
+                        q.rcx, q.rcy, q.rct)
+    # refined location = kf - d, applied per side when that side is valid
+    # (ref :622-631)
+    new_lx = jnp.where(res_l.valid, kf.left_x[rows] - res_l.delta[:, 0],
+                       q.lcx[rows, slots])
+    new_ly = jnp.where(res_l.valid, kf.left_y[rows] - res_l.delta[:, 1],
+                       q.lcy[rows, slots])
+    new_rx = jnp.where(res_r.valid, kf.right_x[rows] - res_r.delta[:, 0],
+                       q.rcx[rows, slots])
+    new_ry = jnp.where(res_r.valid, kf.right_y[rows] - res_r.delta[:, 1],
+                       q.rcy[rows, slots])
+    q = q._replace(
+        lcx=_scatter_back(q.lcx, rows, slots, fmask, new_lx),
+        lcy=_scatter_back(q.lcy, rows, slots, fmask, new_ly),
+        rcx=_scatter_back(q.rcx, rows, slots, fmask, new_rx),
+        rcy=_scatter_back(q.rcy, rows, slots, fmask, new_ry))
+    record(q)
+
+    # ---- clustering: left centers with orientation gate; right centers
+    # averaged over cluster members (ref :636-733) ----
+    cl = CL.cluster_edges(q.lcx, q.lcy, q.lct, q.cmask,
+                          dist_thresh=cfg.cluster_dist_thresh,
+                          orient_thresh_deg=cfg.cluster_orient_thresh,
+                          by_orientation=True,
+                          gauss_sigma=cfg.cluster_orient_gauss_sigma)
+    Mw = cl.members.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(Mw, -1), 1.0)
+    avg_rx = jnp.einsum("mrj,mj->mr", Mw, q.rcx) / cnt
+    avg_ry = jnp.einsum("mrj,mj->mr", Mw, q.rcy) / cnt
+    avg_rt = jnp.einsum("mrj,mj->mr", Mw, q.rct) / cnt
+    q = q._replace(
+        lcx=jnp.where(cl.mask, cl.x, q.lcx),
+        lcy=jnp.where(cl.mask, cl.y, q.lcy),
+        lct=jnp.where(cl.mask, cl.theta, q.lct),
+        rcx=jnp.where(cl.mask, avg_rx, q.rcx),
+        rcy=jnp.where(cl.mask, avg_ry, q.rcy),
+        rct=jnp.where(cl.mask, avg_rt, q.rct),
+        cmask=cl.mask)
+    record(q)
+
+    return q, jnp.stack(metrics)

@@ -1,0 +1,104 @@
+"""Vectorized agglomerative edge clustering.
+
+TPU-native replacement for the reference's EdgeClusterer
+(src/EdgeClusterer.cpp:119-302): the reference runs a greedy
+repeat-until-fixed-point nearest-neighbor merge under
+(dist < CLUSTER_DIST_THRESH [, orient diff < CLUSTER_ORIENT_THRESH])
+with a max-cluster-size cap, then replaces every cluster by its
+Gaussian-distance-weighted average edge.
+
+Here clustering is connected components of the thresholded pairwise
+distance graph, computed by iterative min-label propagation over a (C, C)
+adjacency matrix, vmapped over rows of the (N, C) candidate tensor.
+
+DELIBERATE DEVIATION (documented per SURVEY.md §7 hard-part #4): without
+the size cap, greedy merge-to-fixpoint is exactly connected components; the
+reference additionally stops merging when a cluster would exceed
+MAX_CLUSTER_SIZE=10 (order-dependent). Candidate sets here have <= 32
+entries on a ~1 px scale, so components above 10 members are rare; we take
+pure connected components. The Gaussian-weighted representative
+(EdgeClusterer.cpp:43-117) is reproduced numerically.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ClusterResult(NamedTuple):
+    x: jnp.ndarray        # (..., C) cluster-center x (representative slots)
+    y: jnp.ndarray        # (..., C)
+    theta: jnp.ndarray    # (..., C)
+    mask: jnp.ndarray     # (..., C) True only at representative slots
+    label: jnp.ndarray    # (..., C) int32 component label (min member slot)
+    members: jnp.ndarray  # (..., C, C) bool membership matrix M[r, j]
+
+
+def cluster_edges(x, y, theta, mask,
+                  dist_thresh: float = 1.0,
+                  orient_thresh_deg: float = 20.0,
+                  by_orientation: bool = True,
+                  gauss_sigma: float = 2.0) -> ClusterResult:
+    """Cluster the last-axis candidate sets of (..., C) edge arrays.
+
+    Orientation gate mirrors EdgeClusterer.cpp:156: raw radian difference
+    |t_i - t_j| < deg2rad(thresh), no wrap (as in the reference).
+    """
+    C = x.shape[-1]
+    dx = x[..., :, None] - x[..., None, :]
+    dy = y[..., :, None] - y[..., None, :]
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    adj = dist < dist_thresh
+    if by_orientation:
+        dth = jnp.abs(theta[..., :, None] - theta[..., None, :])
+        adj = adj & (dth < jnp.deg2rad(orient_thresh_deg))
+    pair_ok = mask[..., :, None] & mask[..., None, :]
+    eye = jnp.eye(C, dtype=bool)
+    adj = (adj & pair_ok) | eye  # self-loops keep isolated edges stable
+
+    labels = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+
+    def body(_, lab):
+        # propagate min label across edges of the graph
+        lab_j = jnp.broadcast_to(lab[..., None, :], adj.shape)
+        masked = jnp.where(adj, lab_j, C)
+        return jnp.minimum(lab, jnp.min(masked, axis=-1))
+
+    # diameter <= C; C is small (<=32) so a fixed C-step loop is cheap
+    labels = jax.lax.fori_loop(0, C, body, labels)
+    labels = jnp.where(mask, labels, C)
+
+    # Membership matrix: M[r, j] = (labels[j] == r) & mask[j]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    M = (labels[..., None, :] == slot) & mask[..., None, :]
+
+    # Gaussian-weighted representative per component
+    # (EdgeClusterer.cpp:43-117)
+    cnt = jnp.sum(M, axis=-1).astype(x.dtype)
+    safe_cnt = jnp.maximum(cnt, 1.0)
+    cen_x = jnp.einsum("...rj,...j->...r", M.astype(x.dtype), x) / safe_cnt
+    cen_y = jnp.einsum("...rj,...j->...r", M.astype(x.dtype), y) / safe_cnt
+    ddx = x[..., None, :] - cen_x[..., :, None]
+    ddy = y[..., None, :] - cen_y[..., :, None]
+    d_cen = jnp.sqrt(ddx * ddx + ddy * ddy)
+    mean_shift = jnp.einsum("...rj,...rj->...r", M.astype(x.dtype), d_cen) / safe_cnt
+    w = jnp.exp(-0.5 * ((d_cen - mean_shift[..., :, None]) / gauss_sigma) ** 2)
+    w = w * M.astype(x.dtype)
+    wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-12)
+    gx = jnp.einsum("...rj,...j->...r", w, x) / wsum
+    gy = jnp.einsum("...rj,...j->...r", w, y) / wsum
+    gt = jnp.einsum("...rj,...j->...r", w, theta) / wsum
+
+    rep_mask = (labels == jax.lax.broadcasted_iota(
+        jnp.int32, x.shape, x.ndim - 1)) & mask
+    return ClusterResult(
+        x=jnp.where(rep_mask, gx, 0.0),
+        y=jnp.where(rep_mask, gy, 0.0),
+        theta=jnp.where(rep_mask, gt, 0.0),
+        mask=rep_mask,
+        label=labels,
+        members=M,
+    )

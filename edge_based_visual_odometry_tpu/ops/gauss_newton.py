@@ -1,0 +1,201 @@
+"""Photometric Gauss-Newton refiners as fixed-iteration lax.scan kernels.
+
+Two refiners, both operating on mean-centered two-side rotated patches with
+Huber weighting:
+
+  - `refine_along_epipolar`: 1-DoF shift of the right candidate along the
+    epipolar direction (reference
+    min_Edge_Photometric_Residual_by_Gauss_Newton_along_EpipolarLine,
+    src/Stereo_Matches.cpp:1159-1288).
+  - `refine_2dof`: full 2-DoF translation between KF and CF edges with a
+    2x2 LDLT-equivalent solve (reference
+    Temporal_Matches::min_Edge_Photometric_Residual_by_Gauss_Newton,
+    src/Temporal_Matches.cpp:735-851).
+
+The reference breaks out of its iteration loop on |delta| < tol; here a
+`done` flag freezes the carry so all lanes run the same fixed 20 iterations
+(static shapes for XLA), producing identical results for converged lanes.
+Designed to be vmapped over flat candidate lists.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from edge_based_visual_odometry_tpu.ops import patches as P
+
+
+class RefineResult(NamedTuple):
+    delta: jnp.ndarray       # refined shift: scalar alpha (1-DoF) or (2,) disp
+    score: jnp.ndarray       # final RMS residual
+    confidence: jnp.ndarray  # exp(-rms / huber)
+    valid: jnp.ndarray       # bool: converged after iter 0 and rms within 2*huber
+
+
+def _centered_left_patches(img, x, y, theta, patch_size):
+    """Left/KF patch preparation shared by both refiners
+    (Stereo_Matches.cpp:1169-1193): two side patches at +- (P/2 + 1) along
+    the edge normal, mean-centered. Samples are clamped (the reference uses
+    util_bilinear_Sample_F here, not the NaN variant)."""
+    side = patch_size / 2.0 + 1.0
+    t = jnp.stack([jnp.cos(theta), jnp.sin(theta)], -1)
+    n = jnp.stack([-t[..., 1], t[..., 0]], -1)
+    c_plus = jnp.stack([x, y], -1) + n * side
+    c_minus = jnp.stack([x, y], -1) - n * side
+    cp = P.rotated_patch_coords(c_plus[..., 0], c_plus[..., 1], theta, patch_size)
+    cm = P.rotated_patch_coords(c_minus[..., 0], c_minus[..., 1], theta, patch_size)
+    lp = P.sample_patch(img, cp)
+    lm = P.sample_patch(img, cm)
+    lp = lp - jnp.mean(lp, axis=-1, keepdims=True)
+    lm = lm - jnp.mean(lm, axis=-1, keepdims=True)
+    return lp, lm, n
+
+
+def refine_along_epipolar(left_img, right_img, right_gx, right_gy,
+                          lx, ly, ltheta, rx, ry, epi_dir,
+                          patch_size: int = 7, max_iter: int = 20,
+                          tol: float = 1e-3, huber_delta: float = 1.0) -> RefineResult:
+    """1-DoF GN along the (unit) epipolar direction, alpha init 0
+    (Stereo_Matches.cpp:1159-1288; driver :1290-1358).
+
+    All edge args are scalars (vmap over candidates). Patch rotation uses
+    the LEFT edge orientation on both sides, as in the reference
+    (Stereo_Matches.cpp:1208-1209).
+    """
+    side = patch_size / 2.0 + 1.0
+    lp, lm, n = _centered_left_patches(left_img, lx, ly, ltheta, patch_size)
+    n_samples = 2 * patch_size * patch_size
+
+    def body(carry, _):
+        alpha, done, score, conf, valid, it = carry
+        shift = alpha * epi_dir
+        c_plus = jnp.stack([rx, ry], -1) + n * side + shift
+        c_minus = jnp.stack([rx, ry], -1) - n * side + shift
+        cp = P.rotated_patch_coords(c_plus[..., 0], c_plus[..., 1], ltheta, patch_size)
+        cm = P.rotated_patch_coords(c_minus[..., 0], c_minus[..., 1], ltheta, patch_size)
+
+        def accum(lc, coords):
+            rv = P.sample_patch(right_img, coords)
+            gx = P.sample_patch(right_gx, coords)
+            gy = P.sample_patch(right_gy, coords)
+            rv = rv - jnp.mean(rv, axis=-1, keepdims=True)
+            r = lc - rv
+            # projected gradient (Stereo_Matches.cpp:1240): note the minus
+            # on the x term.
+            g = -gx * epi_dir[0] + gy * epi_dir[1]
+            absr = jnp.abs(r)
+            w = jnp.where(absr <= huber_delta, 1.0, huber_delta / absr)
+            H = jnp.sum(w * g * g, -1)
+            b = jnp.sum(w * g * r, -1)
+            cost = jnp.sum(w * r * r, -1)
+            return H, b, cost
+
+        Hp, bp, cp_ = accum(lp, cp)
+        Hm, bm, cm_ = accum(lm, cm)
+        H = Hp + Hm
+        b = bp + bm
+        cost = cp_ + cm_
+
+        degenerate = H < 1e-8
+        delta = jnp.where(degenerate, 0.0, -b / jnp.maximum(H, 1e-8))
+        new_alpha = alpha + delta
+        rms = jnp.sqrt(cost / n_samples)
+        converged = (jnp.abs(delta) < tol) | (it == max_iter - 1)
+        # is_outlier: rms too large OR converged on the very first iteration
+        # (residual_log.size() < 2 at the check, Stereo_Matches.cpp:1275)
+        is_outlier = (rms > huber_delta * 2.0) | (it < 1)
+        finish = converged & ~done & ~degenerate
+
+        score = jnp.where(finish, rms, score)
+        conf = jnp.where(finish, jnp.exp(-rms / huber_delta), conf)
+        valid = jnp.where(finish, ~is_outlier, valid)
+        alpha = jnp.where(done | degenerate, alpha, new_alpha)
+        done = done | converged | degenerate
+        return (alpha, done, score, conf, valid, it + 1), None
+
+    init = (jnp.float32(0.0), jnp.bool_(False), jnp.float32(1e6),
+            jnp.float32(0.0), jnp.bool_(False), jnp.int32(0))
+    (alpha, _, score, conf, valid, _), _ = jax.lax.scan(
+        body, init, None, length=max_iter)
+    return RefineResult(alpha, score, conf, valid)
+
+
+def refine_2dof(kf_img, cf_img, cf_gx, cf_gy,
+                kx, ky, ktheta, cx, cy, ctheta,
+                patch_size: int = 7, max_iter: int = 20,
+                tol: float = 1e-3, huber_delta: float = 3.0) -> RefineResult:
+    """2-DoF photometric GN between a KF edge and a CF candidate edge
+    (Temporal_Matches.cpp:735-851). Initial displacement d = kf - cf; the
+    CF patch center is kf - d, rotated by the CF orientation; the normal
+    n_cf also comes from the CF orientation (Temporal_Matches.cpp:770-780).
+    Returns the refined displacement d (CF location = kf - d)."""
+    side = patch_size / 2.0 + 1.0
+    lp, lm, _ = _centered_left_patches(kf_img, kx, ky, ktheta, patch_size)
+    n_samples = 2 * patch_size * patch_size
+    t_cf = jnp.stack([jnp.cos(ctheta), jnp.sin(ctheta)], -1)
+    n_cf = jnp.stack([-t_cf[..., 1], t_cf[..., 0]], -1)
+    kf_loc = jnp.stack([kx, ky], -1)
+    d0 = jnp.stack([kx - cx, ky - cy], -1)
+
+    def body(carry, _):
+        d, done, score, conf, valid, it = carry
+        loc = kf_loc - d
+        c_plus = loc + n_cf * side
+        c_minus = loc - n_cf * side
+        cp = P.rotated_patch_coords(c_plus[..., 0], c_plus[..., 1], ctheta, patch_size)
+        cm = P.rotated_patch_coords(c_minus[..., 0], c_minus[..., 1], ctheta, patch_size)
+
+        def accum(lc, coords):
+            rv = P.sample_patch(cf_img, coords)
+            gx = P.sample_patch(cf_gx, coords)
+            gy = P.sample_patch(cf_gy, coords)
+            rv = rv - jnp.mean(rv, axis=-1, keepdims=True)
+            r = lc - rv
+            absr = jnp.abs(r)
+            w = jnp.where(absr < huber_delta, 1.0, huber_delta / absr)
+            H00 = jnp.sum(w * gx * gx, -1)
+            H01 = jnp.sum(w * gx * gy, -1)
+            H11 = jnp.sum(w * gy * gy, -1)
+            b0 = jnp.sum(w * gx * r, -1)
+            b1 = jnp.sum(w * gy * r, -1)
+            cost = jnp.sum(w * r * r, -1)
+            return H00, H01, H11, b0, b1, cost
+
+        a = accum(lp, cp)
+        b_ = accum(lm, cm)
+        # The reference adds 1e-6*I per sample (Temporal_Matches.cpp:815
+        # inside the loop) -> total 2 * P^2 * 1e-6.
+        reg = 1e-6 * n_samples
+        H00 = a[0] + b_[0] + reg
+        H01 = a[1] + b_[1]
+        H11 = a[2] + b_[2] + reg
+        b0 = a[3] + b_[3]
+        b1 = a[4] + b_[4]
+        cost = a[5] + b_[5]
+
+        det = H00 * H11 - H01 * H01
+        inv_det = 1.0 / det
+        d0_ = -(H11 * b0 - H01 * b1) * inv_det
+        d1_ = -(-H01 * b0 + H00 * b1) * inv_det
+        delta = jnp.stack([d0_, d1_], -1)
+        new_d = d + delta
+        rms = jnp.sqrt(cost / n_samples)
+        converged = (jnp.linalg.norm(delta) < tol) | (it == max_iter - 1)
+        is_outlier = (rms > huber_delta * 2.0) | (it < 1)
+        finish = converged & ~done
+
+        score = jnp.where(finish, rms, score)
+        conf = jnp.where(finish, jnp.exp(-rms / huber_delta), conf)
+        valid = jnp.where(finish, ~is_outlier, valid)
+        d = jnp.where(done, d, new_d)
+        done = done | converged
+        return (d, done, score, conf, valid, it + 1), None
+
+    init = (d0, jnp.bool_(False), jnp.float32(1e6),
+            jnp.float32(0.0), jnp.bool_(False), jnp.int32(0))
+    (d, _, score, conf, valid, _), _ = jax.lax.scan(
+        body, init, None, length=max_iter)
+    return RefineResult(d, score, conf, valid)

@@ -1,0 +1,103 @@
+"""Scatter-free spatial indexing: sort-by-band + searchsorted range queries.
+
+TPU-native replacement for the reference's SpatialGrid
+(include/Dataset.h:22-114), whose build is a two-phase parallel-classify /
+serial-insert into std::vector cells and whose query concatenates
+variable-length cell lists. Here:
+
+  build: edges are sorted once by a composite (y-band, x) key - a pure
+         argsort, no scatter conflicts.
+  query: a (qx, qy, rx, ry) box query becomes `n_bands` contiguous segments
+         of the sorted order, located with searchsorted and gathered into
+         fixed-size slot windows with validity masks.
+
+Unlike the reference's cell-granular query (which returns everything in the
+ceil(r/cell)-neighborhood, i.e. a superset of the radius - Dataset.h:69-113),
+this returns exactly the edges whose x lies in [qx-rx, qx+rx] and whose
+y-band overlaps [qy-ry, qy+ry]; downstream exact filters are unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SortedGrid(NamedTuple):
+    """Final sorted structure with int32 composite keys."""
+    sorted_idx: jnp.ndarray    # (N,)
+    sorted_keys: jnp.ndarray   # (N,) int32 composite (band, x/16px)
+    band_h: float
+    n_bands: int
+    width: int
+
+
+def build_sorted_grid(x, y, valid, width: int, height: int,
+                      band_h: int) -> SortedGrid:
+    """Build the sorted composite-key index (see module docstring).
+
+    Composite int32 key = band * (W*16) + round(x*16): x quantized to
+    1/16 px so the key stays monotone in (band, x) and fits int32 for any
+    realistic image size.
+    """
+    n_bands = -(-height // band_h)
+    W16 = jnp.int32(width * 16)
+    band = jnp.clip(jnp.floor(y / band_h), 0, n_bands - 1).astype(jnp.int32)
+    xq = jnp.clip(jnp.round(x * 16.0), 0, width * 16 - 1).astype(jnp.int32)
+    key = band * W16 + xq
+    key = jnp.where(valid, key, jnp.int32((n_bands + 1) * width * 16))
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    return SortedGrid(order, key[order], float(band_h), int(n_bands), int(width))
+
+
+def query_sorted_grid(grid: SortedGrid, qx, qy, rx: float, ry: float,
+                      slots_per_band: int, n_band_window: int):
+    """Box query; qx, qy: (Q,). Returns (idx, mask) of shape
+    (Q, n_band_window * slots_per_band); idx indexes the ORIGINAL edge
+    arrays; mask=False entries have idx 0."""
+    W16 = jnp.int32(grid.width * 16)
+    b0 = jnp.floor((qy - ry) / grid.band_h).astype(jnp.int32)
+    xq_lo = jnp.clip(jnp.floor((qx - rx) * 16.0), 0, grid.width * 16 - 1).astype(jnp.int32)
+    xq_hi = jnp.clip(jnp.ceil((qx + rx) * 16.0), 0, grid.width * 16 - 1).astype(jnp.int32)
+
+    outs_idx = []
+    outs_mask = []
+    offs = jnp.arange(slots_per_band, dtype=jnp.int32)
+    N = grid.sorted_idx.shape[0]
+    for k in range(n_band_window):
+        b = b0 + k
+        b_ok = (b >= 0) & (b < grid.n_bands)
+        key_lo = b * W16 + xq_lo
+        key_hi = b * W16 + xq_hi
+        lo = jnp.searchsorted(grid.sorted_keys, key_lo, side="left")
+        hi = jnp.searchsorted(grid.sorted_keys, key_hi, side="right")
+        pos = lo[:, None] + offs[None, :]
+        m = (pos < hi[:, None]) & b_ok[:, None] & (pos < N)
+        pos = jnp.minimum(pos, N - 1)
+        outs_idx.append(grid.sorted_idx[pos])
+        outs_mask.append(m)
+    idx = jnp.concatenate(outs_idx, axis=-1)
+    mask = jnp.concatenate(outs_mask, axis=-1)
+    return jnp.where(mask, idx, 0), mask
+
+
+def compact_candidates(idx, mask, capacity: int, priority=None):
+    """Compact (Q, S) masked slots to (Q, capacity).
+
+    Valid entries move to the front preserving order (or by ascending
+    `priority` when given). Overflow beyond capacity is dropped.
+    """
+    S = mask.shape[-1]
+    if priority is None:
+        # stable: order by (~mask, slot position)
+        rank = jnp.where(mask, 0, 1) * S + jax.lax.broadcasted_iota(
+            jnp.int32, mask.shape, mask.ndim - 1)
+    else:
+        big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+        rank = jnp.where(mask, priority, big)
+    order = jnp.argsort(rank, axis=-1, stable=True)[..., :capacity]
+    g_idx = jnp.take_along_axis(idx, order, axis=-1)
+    g_mask = jnp.take_along_axis(mask, order, axis=-1)
+    return g_idx, g_mask

@@ -1,0 +1,104 @@
+"""End-to-end stereo cascade on a synthetic scene with exact GT disparity.
+
+The TPU analog of the reference's in-pipeline GT-supervised evaluation on
+ETH3D delivery_area (SURVEY.md §4.2): stage recall/precision become
+automated assertions.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from edge_based_visual_odometry_tpu.config import VOConfig
+from edge_based_visual_odometry_tpu.io import synthetic as S
+from edge_based_visual_odometry_tpu.models import stereo_matcher as SM
+from edge_based_visual_odometry_tpu.models.types import FrameData, RigArrays
+from edge_based_visual_odometry_tpu.ops import image as IMG
+from edge_based_visual_odometry_tpu.ops import toed
+
+
+CFG = VOConfig(max_edges=4096, max_candidates=16, gather_slots=64,
+               max_mates=2048, max_refine_pairs=8192)
+
+
+def make_frame_data(left, right):
+    lgx, lgy = IMG.sobel_gradients(jnp.asarray(left))
+    rgx, rgy = IMG.sobel_gradients(jnp.asarray(right))
+    return FrameData(left=jnp.asarray(left), right=jnp.asarray(right),
+                     left_gx=lgx, left_gy=lgy, right_gx=rgx, right_gy=rgy)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    seq = S.make_sequence(n_frames=1, h=240, w=320)
+    f = seq.frames[0]
+    led = toed.detect_edges(jnp.asarray(f.left), max_edges=CFG.max_edges)
+    red = toed.detect_edges(jnp.asarray(f.right), max_edges=CFG.max_edges)
+    frame = make_frame_data(f.left, f.right)
+    rig = RigArrays.from_rig(seq.rig)
+    return seq, f, led, red, frame, rig
+
+
+def test_edges_found(scene):
+    _, _, led, red, _, _ = scene
+    assert int(led.count) > 300
+    assert int(red.count) > 300
+
+
+def test_stereo_cascade_gt_metrics(scene):
+    seq, f, led, red, frame, rig = scene
+    mates, state, metrics = SM.match_stereo(
+        led, red, frame, rig, CFG, disparity_map=jnp.asarray(f.disparity))
+    metrics = np.asarray(metrics)
+    stages = dict(zip(SM.STAGE_NAMES, metrics))
+
+    # stage 1 recall: nearly every veridical match is within the epipolar
+    # band (rows were prefiltered to have veridical candidates)
+    assert stages["Epipolar Proximity"][0] > 0.9
+    # precision improves monotonically through the gating stages
+    assert stages["NCC"][1] > stages["Epipolar Proximity"][1]
+    # final: one candidate per surviving row, high precision
+    final = stages["Final"]
+    assert final[0] > 0.55, f"final recall too low: {final}"
+    assert final[1] > 0.75, f"final precision too low: {final}"
+    assert final[3] <= 1.0 + 1e-6  # ambiguity after Best is 1
+
+    # mates: enough survivors, small disparity error for TPs
+    n = int(mates.count)
+    assert n > 100
+    v = np.asarray(mates.valid)
+    est_disp = np.asarray(mates.left_x - mates.right_x)[v]
+    gt_disp = np.asarray(mates.left_x - mates.gt_x)[v]
+    tp = np.asarray(mates.is_tp)[v]
+    assert tp.mean() > 0.75
+    err = np.abs(est_disp[tp] - gt_disp[tp])
+    assert np.median(err) < 0.3
+
+
+def test_stereo_cascade_runs_without_gt(scene):
+    seq, f, led, red, frame, rig = scene
+    mates, state, metrics = SM.match_stereo(led, red, frame, rig, CFG,
+                                            disparity_map=None)
+    n = int(mates.count)
+    assert n > 100
+    # production-path 3D points: positive depth in front of the camera
+    v = np.asarray(mates.valid)
+    z = np.asarray(mates.gamma)[v, 2]
+    assert (z > 0).mean() > 0.95
+    assert np.median(np.abs(z - 4.0)) < 1.0  # plane is ~4 m away
+
+
+def test_stereo_matches_against_gt_without_supervision(scene):
+    """Without the GT prefilter, the matcher must still find mostly-correct
+    disparities (compare to the analytic disparity map post hoc)."""
+    seq, f, led, red, frame, rig = scene
+    mates, _, _ = SM.match_stereo(led, red, frame, rig, CFG)
+    v = np.asarray(mates.valid)
+    lx = np.asarray(mates.left_x)[v]
+    ly = np.asarray(mates.left_y)[v]
+    est = lx - np.asarray(mates.right_x)[v]
+    gt = f.disparity[np.round(ly).astype(int), np.round(lx).astype(int)]
+    frac_good = (np.abs(est - gt) < 1.0).mean()
+    assert frac_good > 0.7, f"only {frac_good:.2%} within 1 px of GT disparity"
