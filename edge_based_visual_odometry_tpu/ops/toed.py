@@ -46,25 +46,47 @@ class EdgeList(NamedTuple):
     count: jnp.ndarray    # () int32, number of valid edges
 
 
+def _shift_add_conv_1d(x: jnp.ndarray, taps, axis: int) -> jnp.ndarray:
+    """Correlation out[i] = sum_a taps[a] * x[i + a - C] with zero padding,
+    as an unrolled shift-and-add - pure elementwise FMA work that XLA fuses
+    into a handful of passes on both VPU and CPU (a 1-input-channel 2D conv
+    is degenerate for conv libraries/MXU: K=1 contraction)."""
+    K = len(taps)
+    C = (K - 1) // 2
+    pad_widths = [(0, 0), (0, 0)]
+    pad_widths[axis] = (C, C)
+    p = jnp.pad(x, pad_widths)
+    size = x.shape[axis]
+    acc = None
+    for a in range(K):
+        t = float(taps[a])
+        if t == 0.0:
+            continue
+        s = jax.lax.dynamic_slice_in_dim(p, a, size, axis=axis)
+        acc = t * s if acc is None else acc + t * s
+    return acc
+
+
 def toed_gradient_field(img: jnp.ndarray, kernel_size: int = 17,
                         sigma: float = 2.0):
     """Compute the 2x-upsampled (Ix, Iy, |grad|, orientation) field.
 
     img: (H, W) float32 grayscale in [0, 255].
     Returns (Ix, Iy, grad_mag, orient), each (2H, 2W) float32.
+
+    Uses the separable factorization (ops/filters.toed_separable_taps):
+    12 column passes + 36 row passes of 19-tap shift-and-add, ~900 FMAs
+    per pixel vs the reference's ~12300 MACs/pixel scalar loop
+    (cpu_toed.cpp:180-364).
     """
     H, W = img.shape
-    kernels = jnp.asarray(filters.toed_conv_kernels(kernel_size, sigma))
-    x = img[None, None, :, :].astype(jnp.float32)
-    pad = (kernels.shape[-1] - 1) // 2
-    # One conv, 36 output channels = 9 derivatives x 4 phases. Zero padding
-    # reproduces the reference's boundary skip (cpu_toed.cpp:204).
-    out = jax.lax.conv_general_dilated(
-        x, kernels, window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )[0]                                            # (36, H, W)
-    d = out.reshape(4, 9, H, W)                     # phases x derivatives
+    col_taps, row_select, row_taps = filters.toed_separable_taps(
+        kernel_size, sigma)
+    x = img.astype(jnp.float32)
+    cols = [_shift_add_conv_1d(x, col_taps[c], axis=0) for c in range(12)]
+    outs = [_shift_add_conv_1d(cols[int(row_select[o])], row_taps[o], axis=1)
+            for o in range(36)]
+    d = jnp.stack(outs).reshape(4, 9, H, W)         # phases x derivatives
 
     fx, fy = d[:, 0], d[:, 1]
     fxx, fxy, fyy = d[:, 2], d[:, 3], d[:, 4]

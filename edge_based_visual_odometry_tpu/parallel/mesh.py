@@ -1,0 +1,138 @@
+"""Device-mesh scaling of the VO pipeline.
+
+The reference's only parallelism is intra-host OpenMP (SURVEY.md §2.2).
+The TPU-native scaling story replaces it with SPMD over a
+jax.sharding.Mesh:
+
+  - axis "frame": data parallelism over stereo frame pairs - the natural
+    production deployment (shard a KITTI sweep across chips). Detection,
+    matching, temporal association and pose solve all run per-pair with no
+    cross-pair dependencies; aggregate statistics are psum-reduced over
+    ICI (the all-reduce XLA inserts for the mean over the sharded axis).
+  - windowed BA (models/ba.py) shards keyframe blocks over the same mesh
+    and psum-reduces Schur complements.
+
+All sharding is GSPMD: we annotate in/out shardings and let XLA insert
+collectives.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from edge_based_visual_odometry_tpu import geometry as geom
+from edge_based_visual_odometry_tpu.config import StereoRig, VOConfig
+from edge_based_visual_odometry_tpu.models import motion_tracker as MT
+from edge_based_visual_odometry_tpu.models import stereo_matcher as SM
+from edge_based_visual_odometry_tpu.models import temporal_matcher as TM
+from edge_based_visual_odometry_tpu.models.types import FrameData, RigArrays
+from edge_based_visual_odometry_tpu.ops import image as IMG
+from edge_based_visual_odometry_tpu.ops import toed
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "frame") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+class PairStepOutput(NamedTuple):
+    R: jnp.ndarray              # (B, 3, 3) relative poses KF->CF
+    t: jnp.ndarray              # (B, 3)
+    inlier_ratio: jnp.ndarray   # (B,)
+    n_mates_kf: jnp.ndarray     # (B,)
+    n_mates_cf: jnp.ndarray
+    mean_inlier_ratio: jnp.ndarray  # () - psum-style global mean over the mesh
+
+
+def build_pair_step(rig: StereoRig, cfg: VOConfig):
+    """Per-element full pipeline: (kf_left, kf_right, cf_left, cf_right,
+    rel_R_init, rel_t_init, seed) -> pose + stats. vmap/shard over leading
+    batch."""
+    rig_arrays = RigArrays.from_rig(rig)
+
+    def one_pair(kf_l, kf_r, cf_l, cf_r, rel_R0, rel_t0, seed):
+        def prep(l, r):
+            lgx, lgy = IMG.sobel_gradients(l)
+            rgx, rgy = IMG.sobel_gradients(r)
+            fr = FrameData(l, r, lgx, lgy, rgx, rgy)
+            le = toed.detect_edges(l, cfg.toed_kernel_size, cfg.toed_sigma,
+                                   cfg.toed_grad_mag_min, cfg.max_edges,
+                                   cfg.toed_border)
+            re = toed.detect_edges(r, cfg.toed_kernel_size, cfg.toed_sigma,
+                                   cfg.toed_grad_mag_min, cfg.max_edges,
+                                   cfg.toed_border)
+            mates, _, _ = SM.match_stereo(le, re, fr, rig_arrays, cfg)
+            return fr, mates
+
+        kf_frame, kf_mates = prep(kf_l.astype(jnp.float32),
+                                  kf_r.astype(jnp.float32))
+        cf_frame, cf_mates = prep(cf_l.astype(jnp.float32),
+                                  cf_r.astype(jnp.float32))
+        rel = geom.Pose(rel_R0, rel_t0)
+        quads, _ = TM.match_temporal(kf_mates, cf_mates, kf_frame, cf_frame,
+                                     rel, rig_arrays, cfg, use_gt=False)
+        pq = MT.lift_quads(kf_mates, quads, rig_arrays, cfg, use_gt=False)
+        res = MT.estimate_pose(pq, rig_arrays, cfg, seed)
+        return (res.R, res.t, res.inlier_ratio,
+                kf_mates.count, cf_mates.count)
+
+    return one_pair
+
+
+def build_sharded_pair_step(rig: StereoRig, cfg: VOConfig, mesh: Mesh):
+    """jit the batched pair step with the batch sharded over mesh axis
+    'frame'. The final global mean is an all-reduce over ICI."""
+    one_pair = build_pair_step(rig, cfg)
+    batched = jax.vmap(one_pair)
+
+    def step(kf_l, kf_r, cf_l, cf_r, rel_R0, rel_t0, seeds):
+        R, t, ratio, n_kf, n_cf = batched(
+            kf_l, kf_r, cf_l, cf_r, rel_R0, rel_t0, seeds)
+        # cross-device reduction (XLA emits an AllReduce over "frame")
+        mean_ratio = jnp.mean(ratio)
+        return PairStepOutput(R, t, ratio, n_kf, n_cf, mean_ratio)
+
+    shard = NamedSharding(mesh, P("frame"))
+    repl = NamedSharding(mesh, P())
+    in_shardings = (shard,) * 7
+    out_shardings = PairStepOutput(shard, shard, shard, shard, shard, repl)
+    return jax.jit(step, in_shardings=in_shardings,
+                   out_shardings=out_shardings)
+
+
+def dryrun_multichip(n_devices: int, h: int = 64, w: int = 96) -> None:
+    """Compile + execute the full sharded pipeline step on an n-device
+    mesh with tiny shapes (driver entry; see __graft_entry__.py)."""
+    import dataclasses
+
+    from edge_based_visual_odometry_tpu.io import synthetic as S
+
+    cfg = VOConfig(max_edges=512, max_candidates=8, gather_slots=32,
+                   max_mates=256, max_refine_pairs=512,
+                   max_quad_candidates=8, quad_gather_slots=32,
+                   ransac_max_iterations=64, gn_max_iter=3)
+    seq = S.make_sequence(n_frames=2, h=h, w=w)
+    rig = seq.rig
+    mesh = make_mesh(n_devices)
+    step = build_sharded_pair_step(rig, cfg, mesh)
+
+    B = n_devices
+    kf_l = jnp.broadcast_to(jnp.asarray(seq.frames[0].left), (B, h, w))
+    kf_r = jnp.broadcast_to(jnp.asarray(seq.frames[0].right), (B, h, w))
+    cf_l = jnp.broadcast_to(jnp.asarray(seq.frames[1].left), (B, h, w))
+    cf_r = jnp.broadcast_to(jnp.asarray(seq.frames[1].right), (B, h, w))
+    rel_R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+    rel_t0 = jnp.zeros((B, 3), jnp.float32)
+    seeds = jnp.arange(B, dtype=jnp.int32)
+
+    out = step(kf_l, kf_r, cf_l, cf_r, rel_R0, rel_t0, seeds)
+    jax.block_until_ready(out)
+    assert out.R.shape == (B, 3, 3)
+    assert np.isfinite(float(out.mean_inlier_ratio))

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""CLI entry point: YAML-config-driven stereo edge VO.
+
+Equivalent of the reference's cmd/main_VO.cpp:22-119: parses
+--config_file, loads the YAML dataset description (same schema as
+config/kitti.yaml etc.), builds the dataset iterator and pipeline, and
+drives the frame loop. Unlike the reference (which hard-caps at 2 frames,
+cmd/main_VO.cpp:111-112), --max_frames defaults to the whole sequence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import yaml
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native edge-based stereo VO")
+    ap.add_argument("-c", "--config_file", required=True,
+                    help="YAML config (reference schema, config/*.yaml)")
+    ap.add_argument("--max_frames", type=int, default=0,
+                    help="process at most N frames (0 = all)")
+    ap.add_argument("--use_gt_pose", action="store_true",
+                    help="eval mode: build quads from GT relative pose "
+                         "(the reference's veridical path)")
+    ap.add_argument("--output_dir", default=None,
+                    help="override output_dir from the YAML")
+    ap.add_argument("--max_edges", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    with open(args.config_file) as f:
+        cfg_yaml = yaml.safe_load(f)
+
+    from edge_based_visual_odometry_tpu import VOConfig
+    from edge_based_visual_odometry_tpu.config import rig_from_yaml_dict
+    from edge_based_visual_odometry_tpu.geometry import Pose
+    from edge_based_visual_odometry_tpu.io import datasets
+    from edge_based_visual_odometry_tpu.models import pipeline as PL
+    from edge_based_visual_odometry_tpu.models import stereo_matcher as SM
+    from edge_based_visual_odometry_tpu.models import temporal_matcher as TM
+    from edge_based_visual_odometry_tpu.utils import metrics as MET
+    import jax.numpy as jnp
+
+    rig = rig_from_yaml_dict(cfg_yaml)
+    dataset_type = cfg_yaml["dataset_type"]
+    has_gt_disparity = dataset_type == "ETH3D_stereo"  # src/Dataset.cpp:126-129
+
+    vo_cfg = VOConfig()
+    if args.max_edges:
+        vo_cfg = __import__("dataclasses").replace(vo_cfg, max_edges=args.max_edges)
+
+    out_dir = args.output_dir or cfg_yaml.get("output_dir", "./outputs")
+    os.makedirs(out_dir, exist_ok=True)
+
+    it = datasets.make_iterator(
+        dataset_type, cfg_yaml["dataset_dir"], cfg_yaml["sequence_name"],
+        cfg_yaml.get("gt_file_path", ""),
+        np.asarray(rig.rot_frame2body) if rig.rot_frame2body else None,
+        np.asarray(rig.transl_frame2body) if rig.transl_frame2body else None)
+
+    pipe = PL.VOPipeline(rig=rig, cfg=vo_cfg,
+                         has_gt_disparity=has_gt_disparity,
+                         use_gt_pose=args.use_gt_pose)
+
+    gt_traj = []
+    t0 = time.time()
+    n = 0
+    for sample in it:
+        gt_pose = None
+        if sample.gt_R is not None:
+            # dataset GT is camera-to-world; pipeline uses world-to-camera
+            R_wc = sample.gt_R.T
+            t_wc = -sample.gt_R.T @ sample.gt_t
+            gt_pose = Pose(jnp.asarray(R_wc, jnp.float32),
+                           jnp.asarray(t_wc, jnp.float32))
+            gt_traj.append(gt_pose)
+        fr, tr = pipe.run_frame(sample.left, sample.right,
+                                disparity=sample.left_disparity,
+                                gt_pose=gt_pose)
+        n += 1
+        msg = (f"frame {n - 1}: edges L/R = {int(fr.n_left_edges)}/"
+               f"{int(fr.n_right_edges)}, mates = {int(fr.mates.count)}")
+        if tr is not None:
+            msg += (f", quads = {int(tr.n_quads)}, "
+                    f"inliers = {int(tr.inlier_count)} "
+                    f"({float(tr.inlier_ratio):.3f})")
+        print(msg, flush=True)
+        if args.max_frames and n >= args.max_frames:
+            break
+
+    dt = time.time() - t0
+    print(f"\nprocessed {n} frames in {dt:.2f}s ({n / dt:.3f} frames/s)")
+
+    if pipe.stereo_metrics_log:
+        avg = MET.average_stage_metrics(pipe.stereo_metrics_log)
+        print(MET.format_stage_table(SM.STAGE_NAMES, avg,
+                                     "Stereo Edge Matching Metrics"))
+    if pipe.temporal_metrics_log:
+        avg = MET.average_stage_metrics(pipe.temporal_metrics_log)
+        print(MET.format_stage_table(TM.TEMPORAL_STAGE_NAMES, avg,
+                                     "Temporal Quad Matching Metrics"))
+
+    traj_file = os.path.join(out_dir, "trajectory_tum.txt")
+    MET.write_trajectory_tum(traj_file, pipe.trajectory)
+    print(f"trajectory written to {traj_file}")
+
+    if gt_traj and len(gt_traj) == len(pipe.trajectory):
+        ate = MET.ate_rmse(pipe.trajectory, gt_traj)
+        rpe_t, rpe_r = MET.rpe_stats(pipe.trajectory, gt_traj)
+        print(f"ATE RMSE = {ate:.4f} m | RPE = {rpe_t:.4f} m, {rpe_r:.4f} deg")
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump({"ate_rmse": ate, "rpe_trans": rpe_t,
+                       "rpe_rot_deg": rpe_r, "frames": n,
+                       "frames_per_s": n / dt}, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,6 +3,10 @@
 This is the JAX-native 'fake backend' the reference lacks (SURVEY.md §4):
 multi-chip sharding tests execute on host CPU with
 --xla_force_host_platform_device_count=8.
+
+NOTE: this environment pre-imports jax via sitecustomize (PYTHONPATH
+/root/.axon_site) with JAX_PLATFORMS=axon, so env vars set here are too
+late - we must update jax.config directly.
 """
 
 import os
@@ -14,6 +18,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -33,7 +33,8 @@ def test_sorted_grid_box_query_matches_bruteforce(rng):
         # and nothing outside the conservative box
         for e in got:
             assert abs(x[e] - qx[q]) <= rx + 0.2
-            assert abs(y[e] - qy[q]) <= ry + 8 + 0.2  # band granularity in y
+            # y granularity: bands b0..b0+2 span up to ry + 2*band_h
+            assert abs(y[e] - qy[q]) <= ry + 16 + 0.2
 
 
 def test_compact_candidates():
