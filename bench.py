@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end VO frames/s on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the full production per-frame pipeline at KITTI resolution
+(1241 x 376; config/kitti.yaml:13) on synthetic frames - TOED detection on
+both images, the 11-stage stereo cascade, temporal quad matching against a
+keyframe, and RANSAC pose. No GT supervision (production path).
+
+Baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is measured on this host: benchmarks/ref_toed_baseline.cpp
+reproduces the reference's TOED cost structure (per-pixel quadruple tap
+loops, double precision, OpenMP) and we take 2x its per-image time as the
+reference's per-frame floor (TOED on both images is "the single most
+expensive stage per frame", SURVEY.md §3.2; the real reference frame also
+pays the matching cascade, so the reported speedup is an UNDERestimate).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def measure_cpu_baseline(h: int, w: int) -> float:
+    """Seconds per image for the reference-equivalent CPU TOED."""
+    cache = os.path.join(REPO, "benchmarks", f"baseline_{h}x{w}_secs.txt")
+    if os.path.exists(cache):
+        return float(open(cache).read().strip())
+    exe = os.path.join(REPO, "benchmarks", "ref_toed_baseline")
+    src = os.path.join(REPO, "benchmarks", "ref_toed_baseline.cpp")
+    if not os.path.exists(exe):
+        subprocess.run(["g++", "-O2", "-fopenmp", "-o", exe, src], check=True)
+    out = subprocess.run([exe, str(h), str(w), "2"], capture_output=True,
+                         text=True, check=True, timeout=1200)
+    secs = float(out.stdout.strip())
+    with open(cache, "w") as f:
+        f.write(f"{secs}\n")
+    return secs
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from edge_based_visual_odometry_tpu.config import VOConfig
+    from edge_based_visual_odometry_tpu.io import synthetic as S
+    from edge_based_visual_odometry_tpu.models import pipeline as PL
+
+    H, W = 376, 1241            # KITTI grayscale resolution
+    n_frames = 12
+
+    seq = S.make_sequence(n_frames=3, h=H, w=W)
+    cfg = VOConfig()
+    stereo_step = PL.build_stereo_step(seq.rig, cfg, has_gt=False)
+    temporal_step = PL.build_temporal_step(seq.rig, cfg, use_gt=False)
+
+    left0 = jnp.asarray(seq.frames[0].left)
+    right0 = jnp.asarray(seq.frames[0].right)
+    left1 = jnp.asarray(seq.frames[1].left)
+    right1 = jnp.asarray(seq.frames[1].right)
+
+    # warm-up / compile
+    kf = jax.block_until_ready(stereo_step(left0, right0))
+    cf = jax.block_until_ready(stereo_step(left1, right1))
+    I = jnp.eye(3, dtype=jnp.float32)
+    z = jnp.zeros((3,), jnp.float32)
+    tr = jax.block_until_ready(temporal_step(
+        kf.mates, kf.frame, cf.mates, cf.frame, I, z, jnp.int32(42)))
+
+    # timed loop: one full frame = stereo step + temporal/pose vs keyframe
+    t0 = time.perf_counter()
+    for k in range(n_frames):
+        cf = stereo_step(left1, right1)
+        tr = temporal_step(kf.mates, kf.frame, cf.mates, cf.frame, I, z,
+                           jnp.int32(k))
+    jax.block_until_ready(tr)
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+
+    baseline_secs_per_img = measure_cpu_baseline(H, W)
+    baseline_fps = 1.0 / (2.0 * baseline_secs_per_img)   # 2 images/frame
+
+    print(json.dumps({
+        "metric": "kitti_res_frames_per_s_single_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -67,6 +67,9 @@ class VOConfig:
     ransac_max_reproj_error: float = 1.5       # px
     ransac_top_rank_percentage: float = 0.7
     ransac_seed: int = 42
+    ransac_refine: bool = True     # inlier-set Kabsch refinement (new
+                                   # capability; the reference returns the
+                                   # raw 2-point winner)
 
     # --- TOED (definitions.h:76-77) ---
     toed_kernel_size: int = 17                 # (TOED_KERNEL_SIZE)
@@ -98,11 +101,11 @@ class VOConfig:
     #     the reference uses dynamically-sized std::vectors) ---
     max_edges: int = 32768          # per-image TOED edge capacity
     max_candidates: int = 32        # per-left-edge stereo candidate capacity
-    gather_slots: int = 96          # raw grid-gather slots before compaction
+    gather_slots: int = 160         # raw grid-gather slots before compaction
     max_mates: int = 8192           # finalized stereo mates capacity
     max_refine_pairs: int = 65536   # flat (row, cand) capacity for GN/post-NCC
-    max_quad_candidates: int = 16   # per-KF-mate temporal candidate capacity
-    quad_gather_slots: int = 64     # raw temporal grid-gather slots
+    max_quad_candidates: int = 24   # per-KF-mate temporal candidate capacity
+    quad_gather_slots: int = 576    # raw temporal grid-gather slots (total)
     cell_capacity: int = 16         # per-grid-cell edge capacity
 
     # --- Descriptor (SIFT replacement; deliberate deviation, see

@@ -183,9 +183,55 @@ def estimate_pose(pq: PoseQuads, rig: RigArrays, cfg: VOConfig,
     n_q = jnp.maximum(pq.n_valid, 1)
     success = pq.n_valid >= 2
     I = jnp.eye(3, dtype=R.dtype)
+    R_best = jnp.where(success & (counts[best] >= 0), R[best], I)
+    t_best = jnp.where(success & (counts[best] >= 0), t[best],
+                       jnp.zeros(3, R.dtype))
+
+    if cfg.ransac_refine:
+        # DELIBERATE IMPROVEMENT over the reference (which returns the raw
+        # 2-point closed-form winner, MotionTracker.cpp:233-236): refine on
+        # the inlier set with weighted Kabsch alignment of the 3D point
+        # pairs Gamma -> Gamma_bar, iterated twice with inlier re-gating.
+        def kabsch(w):
+            wsum = jnp.maximum(jnp.sum(w), 1e-6)
+            mu = jnp.einsum("q,qi->i", w, pq.gamma) / wsum
+            mub = jnp.einsum("q,qi->i", w, pq.gamma_bar) / wsum
+            Hm = jnp.einsum("q,qi,qj->ij", w, pq.gamma - mu,
+                            pq.gamma_bar - mub)
+            U, _, Vt = jnp.linalg.svd(Hm)
+            d = jnp.linalg.det(Vt.T @ U.T)
+            S = jnp.diag(jnp.array([1.0, 1.0, 1.0], Hm.dtype)).at[2, 2].set(d)
+            Rr = Vt.T @ S @ U.T
+            tr = mub - Rr @ mu
+            return Rr, tr
+
+        Rr, tr = R_best, t_best
+        for _ in range(2):
+            p = jnp.einsum("ij,qj->qi", Rr, pq.gamma) + tr
+            uvw = jnp.einsum("ij,qj->qi", rig.K_left, p)
+            uv = uvw[:, :2] / uvw[:, 2:3]
+            e = jnp.linalg.norm(uv - pq.cf_left, axis=-1)
+            w = ((e < cfg.ransac_max_reproj_error) & pq.valid).astype(
+                jnp.float32)
+            Rn, tn = kabsch(w)
+            ok = jnp.sum(w) >= 3
+            Rr = jnp.where(ok, Rn, Rr)
+            tr = jnp.where(ok, tn, tr)
+        # final inlier stats under the refined pose
+        p = jnp.einsum("ij,qj->qi", Rr, pq.gamma) + tr
+        uvw = jnp.einsum("ij,qj->qi", rig.K_left, p)
+        uv = uvw[:, :2] / uvw[:, 2:3]
+        e = jnp.linalg.norm(uv - pq.cf_left, axis=-1)
+        inl_f = (e < cfg.ransac_max_reproj_error) & pq.valid
+        cnt_f = jnp.sum(inl_f)
+        improved = cnt_f >= best_count
+        R_best = jnp.where(success & improved, Rr, R_best)
+        t_best = jnp.where(success & improved, tr, t_best)
+        best_count = jnp.where(success & improved, cnt_f, best_count)
+
     return RansacResult(
-        R=jnp.where(success & (counts[best] >= 0), R[best], I),
-        t=jnp.where(success & (counts[best] >= 0), t[best], jnp.zeros(3, R.dtype)),
+        R=R_best,
+        t=t_best,
         inlier_count=best_count,
         inlier_ratio=best_count / n_q,
         n_quads=pq.n_valid,

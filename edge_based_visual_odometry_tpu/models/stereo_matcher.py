@@ -258,18 +258,55 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
                  & (v_dth < cfg.gt_pair_orient_tol))
         row_mask = row_mask & jnp.any(vmask, axis=1)
 
-    # ---- stage 1: epipolar candidates (ref :381-419) ----
+    # ---- stages 1-3 on the raw gather window, THEN compact to C.
+    # The cheap geometric gates run on all `gather_slots` so the capacity
+    # truncation only happens after the orientation stage, where measured
+    # ambiguity is small (reference has no capacity at all - its candidate
+    # vectors shrink via erase; SURVEY.md §7 hard-part #2). ----
     gidx, gmask = GRID.query_sorted_grid(
         rgrid, lx, ly, rx=cfg.max_disparity + 1.5, ry=4.0,
         slots_per_band=cfg.gather_slots // 2, n_band_window=2)
     g_x = right_edges.x[gidx]
     g_y = right_edges.y[gidx]
+    g_t = right_edges.theta[gidx]
+
+    metrics = []
+
+    def record_raw(mask):
+        if not has_gt:
+            metrics.append(jnp.zeros((4,), jnp.float32))
+            return
+        d = jnp.sqrt((g_x - gt_x[:, None]) ** 2 + (g_y - gt_y[:, None]) ** 2)
+        tp = mask & (d <= cfg.dist_to_gt_thresh)
+        n_tp = jnp.sum(tp, 1)
+        n_c = jnp.sum(mask, 1)
+        has_c = row_mask & (n_c > 0)
+        rows = jnp.maximum(jnp.sum(row_mask), 1)
+        rows_w = jnp.maximum(jnp.sum(has_c), 1)
+        prec = jnp.where(n_c > 0, n_tp / jnp.maximum(n_c, 1), 0.0)
+        metrics.append(jnp.stack([
+            jnp.sum(row_mask & (n_tp > 0)) / rows,
+            jnp.sum(jnp.where(row_mask, prec, 0.0)) / rows,
+            jnp.sum(jnp.where(has_c, prec, 0.0)) / rows_w,
+            jnp.sum(jnp.where(has_c, n_c, 0)) / rows_w]))
+
+    # stage 1: epipolar line distance (ref :381-419)
     g_epi = geom.point_line_distance(epi[:, None, :],
                                      jnp.stack([g_x, g_y], -1))
     gmask = gmask & (g_epi < cfg.epipolar_line_dist_thresh) & row_mask[:, None]
-    cand_idx, cmask = GRID.compact_candidates(
-        gidx, gmask, C, priority=g_epi)
+    record_raw(gmask)
 
+    # stage 2: max disparity (ref :534-553)
+    g_d = jnp.sqrt((g_x - lx[:, None]) ** 2 + (g_y - ly[:, None]) ** 2)
+    gmask = gmask & (g_d <= cfg.max_disparity)
+    record_raw(gmask)
+
+    # stage 3: orientation (ref :863-915)
+    g_dth = geom.orientation_diff_deg(lt[:, None], g_t)
+    gmask = gmask & geom.orientation_gate(g_dth, cfg.orientation_thresh_deg)
+    record_raw(gmask)
+
+    cand_idx, cmask = GRID.compact_candidates(gidx, gmask, C, priority=g_epi)
     state = StereoState(
         row_mask=row_mask, lx=lx, ly=ly, ltheta=lt, epi_line=epi,
         gt_x=gt_x, gt_y=gt_y, gamma_gt_l=gamma_l, gamma_gt_r=gamma_r,
@@ -280,23 +317,9 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         desc_dist=jnp.full((N, C), 2.0 * cfg.sift_threshold, jnp.float32),
     )
 
-    metrics = []
     def record(st):
         metrics.append(_metrics(st, cfg.dist_to_gt_thresh) if has_gt
                        else jnp.zeros((4,), jnp.float32))
-
-    record(state)
-
-    # ---- stage 2: max disparity (ref :534-553) ----
-    d = jnp.sqrt((state.cx - lx[:, None]) ** 2 + (state.cy - ly[:, None]) ** 2)
-    state = state._replace(cmask=state.cmask & (d <= cfg.max_disparity))
-    record(state)
-
-    # ---- stage 3: orientation (ref :863-915) ----
-    dth = geom.orientation_diff_deg(lt[:, None], state.ctheta)
-    state = state._replace(cmask=state.cmask & geom.orientation_gate(
-        dth, cfg.orientation_thresh_deg))
-    record(state)
 
     # ---- descriptors for all edges (augment_Edge_Data, ref :655-689) ----
     l_desc = DESC.edge_descriptors(

@@ -138,15 +138,16 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
               & (pr[:, 0] < W - margin) & (pr[:, 1] < H - margin))
 
     # CF mate spatial indices over left and right edge locations
+    # 8 px bands: CF mates concentrate along ridges, so wide bands
+    # overflow their fixed gather slots in dense rows
+    band_h = 8
     lgrid = GRID.build_sorted_grid(cf.left_x, cf.left_y, cf.valid, W, H,
-                                   band_h=16)
-    rgrid_sorted = GRID.build_sorted_grid(cf.right_x, cf.right_y, cf.valid,
-                                          W, H, band_h=16)
+                                   band_h=band_h)
 
     # ---- veridical quads (ref :57-166): exact distance < 2 px both sides
     # + orientation gates vs the transported orientation ----
     r_v = cfg.dist_to_gt_thresh_quads + 1.0
-    vwin = int(-(-2 * r_v // 16)) + 1
+    vwin = int(-(-2 * r_v // band_h)) + 1
     vidx, vmask = GRID.query_sorted_grid(lgrid, pl[:, 0], pl[:, 1],
                                          rx=r_v, ry=r_v,
                                          slots_per_band=8, n_band_window=vwin)
@@ -171,18 +172,52 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
 
     # ---- candidate gathering around the KF edge locations, radius 30
     # (apply_spatial_grid_filtering_quads ref :335-383); left AND right box
-    # membership = the reference's left/right cell-set intersection ----
+    # membership = the reference's left/right cell-set intersection.
+    # As in the stereo cascade, the cheap gates (box + orientation) run on
+    # the RAW gather window and compaction to Cq happens afterwards with
+    # an orientation-difference priority, so the fixed capacity only bites
+    # where post-orientation ambiguity would exceed Cq (the reference has
+    # no capacity at all). ----
     r_g = cfg.temporal_grid_radius
-    gwin = int(-(-2 * r_g // 16)) + 1
+    gwin = int(-(-2 * r_g // band_h)) + 1
     gidx, gmask = GRID.query_sorted_grid(
         lgrid, kf.left_x, kf.left_y, rx=r_g, ry=r_g,
-        slots_per_band=cfg.quad_gather_slots // gwin, n_band_window=gwin)
+        slots_per_band=-(-cfg.quad_gather_slots // gwin), n_band_window=gwin)
     g_rdx = jnp.abs(cf.right_x[gidx] - kf.right_x[:, None])
     g_rdy = jnp.abs(cf.right_y[gidx] - kf.right_y[:, None])
     gmask = (gmask & cf.valid[gidx] & row_mask[:, None]
              & (g_rdx <= r_g) & (g_rdy <= r_g))
-    cf_idx, cmask = GRID.compact_candidates(gidx, gmask, Cq)
 
+    metrics = []
+
+    def record_raw(mask):
+        if not use_gt:
+            metrics.append(jnp.zeros((4,), jnp.float32))
+            return
+        tmp = TemporalQuads(
+            row_mask=row_mask, proj_left=pl, proj_right=pr,
+            proj_theta_l=th_l, proj_theta_r=th_r, has_veridical=has_verid,
+            cf_idx=gidx, lcx=cf.left_x[gidx], lcy=cf.left_y[gidx],
+            lct=cf.left_theta[gidx], rcx=cf.right_x[gidx],
+            rcy=cf.right_y[gidx], rct=cf.right_theta[gidx], cmask=mask,
+            ncc_l=None, desc_l=None)
+        metrics.append(_quad_metrics(tmp, kf.is_tp,
+                                     cfg.dist_to_gt_thresh_quads))
+
+    record_raw(gmask)
+
+    # ---- orientation both sides on the raw window (ref :385-414) ----
+    g_ol = geom.orientation_diff_deg(kf.left_theta[:, None],
+                                     cf.left_theta[gidx])
+    g_or = geom.orientation_diff_deg(kf.right_theta[:, None],
+                                     cf.right_theta[gidx])
+    gmask = (gmask
+             & geom.orientation_gate(g_ol, cfg.temporal_orient_thresh_deg)
+             & geom.orientation_gate(g_or, cfg.temporal_orient_thresh_deg))
+    record_raw(gmask)
+
+    cf_idx, cmask = GRID.compact_candidates(gidx, gmask, Cq,
+                                            priority=g_ol + g_or)
     q = TemporalQuads(
         row_mask=row_mask, proj_left=pl, proj_right=pr,
         proj_theta_l=th_l, proj_theta_r=th_r, has_veridical=has_verid,
@@ -194,19 +229,9 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
         desc_l=jnp.full((M, Cq), 900.0, jnp.float32),
     )
 
-    metrics = []
     def record(qq):
         metrics.append(_quad_metrics(qq, kf.is_tp, cfg.dist_to_gt_thresh_quads)
                        if use_gt else jnp.zeros((4,), jnp.float32))
-    record(q)
-
-    # ---- orientation both sides (ref :385-414) ----
-    ol = geom.orientation_diff_deg(kf.left_theta[:, None], q.lct)
-    orr = geom.orientation_diff_deg(kf.right_theta[:, None], q.rct)
-    q = q._replace(cmask=q.cmask
-                   & geom.orientation_gate(ol, cfg.temporal_orient_thresh_deg)
-                   & geom.orientation_gate(orr, cfg.temporal_orient_thresh_deg))
-    record(q)
 
     # ---- NCC both sides from stored patches (ref :416-469) ----
     def side_ncc(kf_patches, kf_ok, cf_patches, cf_ok):

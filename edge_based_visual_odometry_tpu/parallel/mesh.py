@@ -116,7 +116,7 @@ def dryrun_multichip(n_devices: int, h: int = 64, w: int = 96) -> None:
 
     cfg = VOConfig(max_edges=512, max_candidates=8, gather_slots=32,
                    max_mates=256, max_refine_pairs=512,
-                   max_quad_candidates=8, quad_gather_slots=32,
+                   max_quad_candidates=8, quad_gather_slots=80,
                    ransac_max_iterations=64, gn_max_iter=3)
     seq = S.make_sequence(n_frames=2, h=h, w=w)
     rig = seq.rig

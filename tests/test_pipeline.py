@@ -1,0 +1,48 @@
+"""End-to-end VOPipeline over a synthetic sequence + trajectory metrics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from edge_based_visual_odometry_tpu import geometry as geom
+from edge_based_visual_odometry_tpu.config import VOConfig
+from edge_based_visual_odometry_tpu.io import synthetic as S
+from edge_based_visual_odometry_tpu.models import pipeline as PL
+from edge_based_visual_odometry_tpu.utils import metrics as MET
+
+CFG = VOConfig(max_edges=4096, max_candidates=16, gather_slots=160,
+               max_mates=2048, max_refine_pairs=8192,
+               max_quad_candidates=24, quad_gather_slots=576,
+               ransac_max_iterations=2048)
+
+
+@pytest.mark.slow
+def test_pipeline_production_trajectory():
+    seq = S.make_sequence(n_frames=3, h=240, w=320)
+    pipe = PL.VOPipeline(rig=seq.rig, cfg=CFG, has_gt_disparity=False,
+                         use_gt_pose=False)
+    gt = []
+    for f in seq.frames:
+        gt_pose = geom.Pose(jnp.asarray(f.R, jnp.float32),
+                            jnp.asarray(f.t, jnp.float32))
+        gt.append(gt_pose)
+        fr, tr = pipe.run_frame(f.left, f.right)
+        assert int(fr.mates.count) > 100
+        if tr is not None:
+            assert bool(tr.success)
+            assert float(tr.inlier_ratio) > 0.3
+
+    assert len(pipe.trajectory) == 3
+    ate = MET.ate_rmse(pipe.trajectory, gt, align=False)
+    assert ate < 0.05, f"ATE {ate:.4f} m too large for a 3-frame synthetic run"
+    rpe_t, rpe_r = MET.rpe_stats(pipe.trajectory, gt)
+    assert rpe_t < 0.05
+    assert rpe_r < 1.0
+
+
+def test_trajectory_metrics_identity():
+    poses = [geom.Pose(jnp.eye(3), jnp.asarray([0.1 * k, 0.0, 0.0]))
+             for k in range(5)]
+    assert MET.ate_rmse(poses, poses) < 1e-9
+    t, r = MET.rpe_stats(poses, poses)
+    assert t < 1e-9 and r < 1e-6

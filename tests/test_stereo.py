@@ -19,8 +19,8 @@ from edge_based_visual_odometry_tpu.ops import image as IMG
 from edge_based_visual_odometry_tpu.ops import toed
 
 
-CFG = VOConfig(max_edges=4096, max_candidates=16, gather_slots=64,
-               max_mates=2048, max_refine_pairs=8192)
+CFG = VOConfig(max_edges=4096, max_candidates=16, gather_slots=160,
+               max_mates=3072, max_refine_pairs=8192)
 
 
 def make_frame_data(left, right):
@@ -61,8 +61,8 @@ def test_stereo_cascade_gt_metrics(scene):
     assert stages["NCC"][1] > stages["Epipolar Proximity"][1]
     # final: one candidate per surviving row, high precision
     final = stages["Final"]
-    assert final[0] > 0.55, f"final recall too low: {final}"
-    assert final[1] > 0.75, f"final precision too low: {final}"
+    assert final[0] > 0.9, f"final recall too low: {final}"
+    assert final[1] > 0.9, f"final precision too low: {final}"
     assert final[3] <= 1.0 + 1e-6  # ambiguity after Best is 1
 
     # mates: enough survivors, small disparity error for TPs
@@ -72,7 +72,7 @@ def test_stereo_cascade_gt_metrics(scene):
     est_disp = np.asarray(mates.left_x - mates.right_x)[v]
     gt_disp = np.asarray(mates.left_x - mates.gt_x)[v]
     tp = np.asarray(mates.is_tp)[v]
-    assert tp.mean() > 0.75
+    assert tp.mean() > 0.9
     err = np.abs(est_disp[tp] - gt_disp[tp])
     assert np.median(err) < 0.3
 

@@ -1,0 +1,96 @@
+"""Temporal quad matching + RANSAC pose on a synthetic two-frame scene."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from edge_based_visual_odometry_tpu import geometry as geom
+from edge_based_visual_odometry_tpu.config import VOConfig
+from edge_based_visual_odometry_tpu.io import synthetic as S
+from edge_based_visual_odometry_tpu.models import motion_tracker as MT
+from edge_based_visual_odometry_tpu.models import stereo_matcher as SM
+from edge_based_visual_odometry_tpu.models import temporal_matcher as TM
+from edge_based_visual_odometry_tpu.models.types import FrameData, RigArrays
+from edge_based_visual_odometry_tpu.ops import image as IMG
+from edge_based_visual_odometry_tpu.ops import toed
+
+CFG = VOConfig(max_edges=4096, max_candidates=16, gather_slots=160,
+               max_mates=2048, max_refine_pairs=8192,
+               max_quad_candidates=24, quad_gather_slots=576,
+               ransac_max_iterations=2048)
+
+
+def frame_data(f):
+    lgx, lgy = IMG.sobel_gradients(jnp.asarray(f.left))
+    rgx, rgy = IMG.sobel_gradients(jnp.asarray(f.right))
+    return FrameData(jnp.asarray(f.left), jnp.asarray(f.right),
+                     lgx, lgy, rgx, rgy)
+
+
+@pytest.fixture(scope="module")
+def two_frames():
+    seq = S.make_sequence(n_frames=2, h=240, w=320)
+    rig = RigArrays.from_rig(seq.rig)
+    out = []
+    for f in seq.frames:
+        fd = frame_data(f)
+        led = toed.detect_edges(jnp.asarray(f.left), max_edges=CFG.max_edges)
+        red = toed.detect_edges(jnp.asarray(f.right), max_edges=CFG.max_edges)
+        mates, _, _ = SM.match_stereo(led, red, fd, rig, CFG,
+                                      disparity_map=jnp.asarray(f.disparity))
+        out.append((f, fd, mates))
+    # GT relative pose KF -> CF (world->cam convention in the renderer)
+    p0 = geom.Pose(jnp.asarray(seq.frames[0].R, jnp.float32),
+                   jnp.asarray(seq.frames[0].t, jnp.float32))
+    p1 = geom.Pose(jnp.asarray(seq.frames[1].R, jnp.float32),
+                   jnp.asarray(seq.frames[1].t, jnp.float32))
+    rel = geom.relative_pose(p0, p1)
+    return seq, rig, out, rel
+
+
+def test_temporal_quads_gt_metrics(two_frames):
+    seq, rig, frames, rel = two_frames
+    (f0, fd0, m0), (f1, fd1, m1) = frames
+    quads, metrics = TM.match_temporal(m0, m1, fd0, fd1, rel, rig, CFG,
+                                       use_gt=True)
+    metrics = np.asarray(metrics)
+    stages = dict(zip(TM.TEMPORAL_STAGE_NAMES, metrics))
+    assert stages["Location Proximity"][0] > 0.9
+    final = stages["Edge Clustering"]
+    assert final[0] > 0.7, f"temporal recall too low: {final}"
+    assert final[1] > 0.7, f"temporal precision too low: {final}"
+    assert int(np.asarray(quads.cmask).sum()) > 100
+
+
+def test_pose_recovery_gt_mode(two_frames):
+    seq, rig, frames, rel = two_frames
+    (f0, fd0, m0), (f1, fd1, m1) = frames
+    quads, _ = TM.match_temporal(m0, m1, fd0, fd1, rel, rig, CFG, use_gt=True)
+    pq = MT.lift_quads(m0, quads, rig, CFG, use_gt=True)
+    res = MT.estimate_pose(pq, rig, CFG)
+    assert bool(res.success)
+    assert int(res.inlier_count) > 50
+    R_err = np.asarray(res.R) @ np.asarray(rel.R).T
+    ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    t_err = np.linalg.norm(np.asarray(res.t) - np.asarray(rel.t))
+    assert ang < 1.0, f"rotation error {ang:.3f} deg"
+    assert t_err < 0.05, f"translation error {t_err:.4f} m"
+
+
+def test_pose_recovery_production_mode(two_frames):
+    """No GT anywhere: quads predicted with identity motion, pose solved
+    from triangulated geometry only."""
+    seq, rig, frames, rel = two_frames
+    (f0, fd0, m0), (f1, fd1, m1) = frames
+    ident = geom.Pose.identity()
+    quads, _ = TM.match_temporal(m0, m1, fd0, fd1, ident, rig, CFG,
+                                 use_gt=False)
+    pq = MT.lift_quads(m0, quads, rig, CFG, use_gt=False)
+    res = MT.estimate_pose(pq, rig, CFG)
+    assert bool(res.success)
+    R_err = np.asarray(res.R) @ np.asarray(rel.R).T
+    ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    t_err = np.linalg.norm(np.asarray(res.t) - np.asarray(rel.t))
+    assert ang < 1.5, f"rotation error {ang:.3f} deg"
+    assert t_err < 0.08, f"translation error {t_err:.4f} m"
+    assert float(res.inlier_ratio) > 0.3
