@@ -63,21 +63,32 @@ def default_rig(h: int = 240, w: int = 320) -> StereoRig:
 
 
 def _render(K: np.ndarray, R: np.ndarray, t: np.ndarray,
-            plane_n: np.ndarray, plane_c: float,
-            h: int, w: int, seed: int):
-    """Render the plane n . X_w = c from camera (R, t): X_c = R X_w + t.
-    Returns (image, depth) with depth = Z in camera frame."""
+            planes, h: int, w: int, seed: int):
+    """Render a set of textured planes {(n, c)} from camera (R, t):
+    X_c = R X_w + t; per pixel the nearest positive ray-plane intersection
+    wins (depth buffer). Multiple planes at different depths give the
+    parallax needed to make pose estimation well-conditioned (a single
+    plane leaves the classic low-parallax rotation/translation ambiguity).
+    Returns (image, depth)."""
     jj, ii = np.meshgrid(np.arange(w, dtype=np.float64),
                          np.arange(h, dtype=np.float64))
     Kinv = np.linalg.inv(K)
     d = np.stack([jj, ii, np.ones_like(jj)], axis=-1) @ Kinv.T  # cam rays
-    # X_w = R^T (lam * d - t);  n . X_w = c
-    denom = (d @ R) @ plane_n              # n . (R^T d) per pixel
-    lam = (plane_c + plane_n @ (R.T @ t)) / denom
-    X_w = (lam[..., None] * d - t) @ R     # R^T (lam d - t)
-    img = _texture(X_w[..., 0], X_w[..., 1], rng_seed=seed)
-    depth = lam * d[..., 2]
-    return img.astype(np.float32), depth, X_w
+
+    best_lam = np.full((h, w), np.inf)
+    img = np.zeros((h, w))
+    for pi, (plane_n, plane_c) in enumerate(planes):
+        denom = (d @ R) @ plane_n          # n . (R^T d) per pixel
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = (plane_c + plane_n @ (R.T @ t)) / denom
+        lam = np.where(lam > 0.1, lam, np.inf)
+        X_w = (lam[..., None] * d - t) @ R  # R^T (lam d - t)
+        tex = _texture(X_w[..., 0], X_w[..., 1], rng_seed=seed + 101 * pi)
+        closer = lam < best_lam
+        img = np.where(closer, tex, img)
+        best_lam = np.where(closer, lam, best_lam)
+    depth = best_lam * d[..., 2]
+    return img.astype(np.float32), depth, None
 
 
 def make_sequence(n_frames: int = 3, h: int = 240, w: int = 320,
@@ -90,10 +101,17 @@ def make_sequence(n_frames: int = 3, h: int = 240, w: int = 320,
     K = rig.left.K
     baseline = -rig.T21_np[0]
 
-    # plane: mildly slanted, ~4 m in front of the start pose
-    plane_n = np.array([0.15, -0.1, 1.0])
-    plane_n = plane_n / np.linalg.norm(plane_n)
-    plane_c = 4.0 * plane_n[2]
+    # strongly slanted planes whose depth orderings cross inside the view
+    # (ground + two opposing walls) -> genuine multi-depth parallax
+    def plane(nx, ny, z0):
+        # plane nx*X + ny*Y + Z = z0 in the world(=frame-0 camera) frame
+        n = np.array([nx, ny, 1.0])
+        s = np.linalg.norm(n)
+        return (n / s, z0 / s)
+
+    planes = [plane(0.0, 1.2, 4.0),     # ground-like: near at bottom
+              plane(-1.0, 0.0, 5.0),    # wall: near at left
+              plane(0.8, -0.3, 6.0)]    # wall: near at top-right
 
     frames = []
     for k in range(n_frames):
@@ -109,11 +127,11 @@ def make_sequence(n_frames: int = 3, h: int = 240, w: int = 320,
         R = Rz @ Ry
         t = np.array([-0.05 * k, 0.01 * k, -0.08 * k])
 
-        left, depth, _ = _render(K, R, t, plane_n, plane_c, h, w, seed)
+        left, depth, _ = _render(K, R, t, planes, h, w, seed)
         # right camera: X_r = R21 X_l + T21 -> world->right = (R21 R, R21 t + T21)
         Rr = rig.R21_np @ R
         tr = rig.R21_np @ t + rig.T21_np
-        right, _, _ = _render(K, Rr, tr, plane_n, plane_c, h, w, seed)
+        right, _, _ = _render(K, Rr, tr, planes, h, w, seed)
         disparity = (K[0, 0] * baseline / depth).astype(np.float32)
         frames.append(SyntheticFrame(left=left, right=right,
                                      disparity=disparity,

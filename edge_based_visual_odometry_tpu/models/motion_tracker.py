@@ -28,6 +28,24 @@ from edge_based_visual_odometry_tpu.models.temporal_matcher import TemporalQuads
 from edge_based_visual_odometry_tpu.models.types import RigArrays, StereoMates
 
 
+def skew_batch(v: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) -> (..., 3, 3) skew matrices."""
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+        jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+        jnp.stack([-v[..., 1], v[..., 0], z], -1)], -2)
+
+
+def _so3_exp_single(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues exp for a single (3,) vector."""
+    theta = jnp.maximum(jnp.linalg.norm(w), 1e-12)
+    k = w / theta
+    kx = skew_batch(k)
+    return (jnp.eye(3, dtype=w.dtype) + jnp.sin(theta) * kx
+            + (1 - jnp.cos(theta)) * (kx @ kx))
+
+
 class PoseQuads(NamedTuple):
     """Flat lifted quads (Quad_for_Pose_Solution, MotionTracker.h:16-26)."""
 
@@ -189,45 +207,57 @@ def estimate_pose(pq: PoseQuads, rig: RigArrays, cfg: VOConfig,
 
     if cfg.ransac_refine:
         # DELIBERATE IMPROVEMENT over the reference (which returns the raw
-        # 2-point closed-form winner, MotionTracker.cpp:233-236): refine on
-        # the inlier set with weighted Kabsch alignment of the 3D point
-        # pairs Gamma -> Gamma_bar, iterated twice with inlier re-gating.
-        def kabsch(w):
-            wsum = jnp.maximum(jnp.sum(w), 1e-6)
-            mu = jnp.einsum("q,qi->i", w, pq.gamma) / wsum
-            mub = jnp.einsum("q,qi->i", w, pq.gamma_bar) / wsum
-            Hm = jnp.einsum("q,qi,qj->ij", w, pq.gamma - mu,
-                            pq.gamma_bar - mub)
-            U, _, Vt = jnp.linalg.svd(Hm)
-            d = jnp.linalg.det(Vt.T @ U.T)
-            S = jnp.diag(jnp.array([1.0, 1.0, 1.0], Hm.dtype)).at[2, 2].set(d)
-            Rr = Vt.T @ S @ U.T
-            tr = mub - Rr @ mu
-            return Rr, tr
+        # 2-point closed-form winner, MotionTracker.cpp:233-236): refine
+        # the winning pose by Gauss-Newton on the inlier reprojection
+        # error (the same objective the hypotheses are scored with),
+        # re-gating inliers each iteration.
+        fx = rig.K_left[0, 0]
+        fy = rig.K_left[1, 1]
+        cx = rig.K_left[0, 2]
+        cy = rig.K_left[1, 2]
 
-        Rr, tr = R_best, t_best
-        for _ in range(2):
-            p = jnp.einsum("ij,qj->qi", Rr, pq.gamma) + tr
-            uvw = jnp.einsum("ij,qj->qi", rig.K_left, p)
-            uv = uvw[:, :2] / uvw[:, 2:3]
-            e = jnp.linalg.norm(uv - pq.cf_left, axis=-1)
+        def gn_step(carry, _):
+            Rr, tr = carry
+            Xc = jnp.einsum("ij,qj->qi", Rr, pq.gamma) + tr
+            z = jnp.maximum(Xc[:, 2], 1e-6)
+            u = fx * Xc[:, 0] / z + cx
+            v = fy * Xc[:, 1] / z + cy
+            r = jnp.stack([u, v], -1) - pq.cf_left
+            e = jnp.linalg.norm(r, axis=-1)
             w = ((e < cfg.ransac_max_reproj_error) & pq.valid).astype(
                 jnp.float32)
-            Rn, tn = kabsch(w)
+            iz = 1.0 / z
+            iz2 = iz * iz
+            Jp = jnp.stack([
+                jnp.stack([fx * iz, jnp.zeros_like(z), -fx * Xc[:, 0] * iz2], -1),
+                jnp.stack([jnp.zeros_like(z), fy * iz, -fy * Xc[:, 1] * iz2], -1),
+            ], axis=1)                                   # (Q, 2, 3)
+            Xh = skew_batch(Xc)
+            J_om = -jnp.einsum("qij,qjk->qik", Jp, Xh)
+            J = jnp.concatenate([J_om, Jp], axis=-1)     # (Q, 2, 6)
+            H = jnp.einsum("q,qia,qib->ab", w, J, J) + 1e-6 * jnp.eye(6)
+            b = -jnp.einsum("q,qia,qi->a", w, J, r)
+            dp = jnp.linalg.solve(H, b)
+            dR = _so3_exp_single(dp[:3])
             ok = jnp.sum(w) >= 3
-            Rr = jnp.where(ok, Rn, Rr)
-            tr = jnp.where(ok, tn, tr)
-        # final inlier stats under the refined pose
+            Rn = jnp.where(ok, dR @ Rr, Rr)
+            tn = jnp.where(ok, dR @ tr + dp[3:], tr)
+            return (Rn, tn), None
+
+        (Rr, tr), _ = jax.lax.scan(gn_step, (R_best, t_best), None, length=4)
+        # Accept unless the refinement degenerated (GN minimizes squared
+        # error, so the hard inlier COUNT may drop by a few boundary
+        # points while the pose improves substantially).
         p = jnp.einsum("ij,qj->qi", Rr, pq.gamma) + tr
         uvw = jnp.einsum("ij,qj->qi", rig.K_left, p)
         uv = uvw[:, :2] / uvw[:, 2:3]
         e = jnp.linalg.norm(uv - pq.cf_left, axis=-1)
-        inl_f = (e < cfg.ransac_max_reproj_error) & pq.valid
-        cnt_f = jnp.sum(inl_f)
-        improved = cnt_f >= best_count
-        R_best = jnp.where(success & improved, Rr, R_best)
-        t_best = jnp.where(success & improved, tr, t_best)
-        best_count = jnp.where(success & improved, cnt_f, best_count)
+        cnt_f = jnp.sum((e < cfg.ransac_max_reproj_error) & pq.valid)
+        finite = jnp.all(jnp.isfinite(Rr)) & jnp.all(jnp.isfinite(tr))
+        ok_refined = finite & (cnt_f >= (0.8 * best_count).astype(cnt_f.dtype))
+        R_best = jnp.where(success & ok_refined, Rr, R_best)
+        t_best = jnp.where(success & ok_refined, tr, t_best)
+        best_count = jnp.where(success & ok_refined, cnt_f, best_count)
 
     return RansacResult(
         R=R_best,

@@ -226,7 +226,7 @@ def extract_edges(subpix_x, subpix_y, subpix_mag, orient, valid,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "kernel_size", "max_edges", "border"))
+    "kernel_size", "sigma", "max_edges", "border"))
 def detect_edges(img: jnp.ndarray, kernel_size: int = 17, sigma: float = 2.0,
                  grad_mag_min: float = 2.0, max_edges: int = 32768,
                  border: int = 10) -> EdgeList:

@@ -1,0 +1,60 @@
+"""Native C++ loader: decode parity + prefetch ordering."""
+
+import os
+
+import numpy as np
+import pytest
+
+from edge_based_visual_odometry_tpu.io import native_loader as NL
+
+
+@pytest.fixture(scope="module")
+def png_pairs(tmp_path_factory):
+    from PIL import Image
+    d = tmp_path_factory.mktemp("frames")
+    rng = np.random.default_rng(3)
+    pairs = []
+    truths = []
+    for k in range(6):
+        l = rng.integers(0, 255, (48, 64), dtype=np.uint8)
+        r = rng.integers(0, 255, (48, 64), dtype=np.uint8)
+        lp = str(d / f"l{k}.png")
+        rp = str(d / f"r{k}.png")
+        Image.fromarray(l).save(lp)
+        Image.fromarray(r).save(rp)
+        pairs.append((lp, rp))
+        truths.append((l, r))
+    return pairs, truths
+
+
+def test_native_available():
+    assert NL.native_available(), "native loader failed to build"
+
+
+def test_decode_matches_pil(png_pairs):
+    pairs, truths = png_pairs
+    out = NL.decode_gray(pairs[0][0], 48, 64)
+    assert out is not None
+    np.testing.assert_array_equal(out, truths[0][0].astype(np.float32))
+
+
+def test_prefetch_loader_order_and_content(png_pairs):
+    pairs, truths = png_pairs
+    loader = NL.PrefetchLoader(pairs, 48, 64, prefetch_depth=3, n_threads=3)
+    seen = []
+    for idx, left, right in loader:
+        np.testing.assert_array_equal(left, truths[idx][0].astype(np.float32))
+        np.testing.assert_array_equal(right, truths[idx][1].astype(np.float32))
+        seen.append(idx)
+    assert seen == list(range(6))
+    loader.close()
+
+
+def test_prefetch_loader_skips_bad_files(png_pairs, tmp_path):
+    pairs, truths = png_pairs
+    bad = str(tmp_path / "missing.png")
+    mixed = [pairs[0], (bad, bad), pairs[1]]
+    loader = NL.PrefetchLoader(mixed, 48, 64)
+    seen = [idx for idx, _, _ in loader]
+    assert seen == [0, 2]
+    loader.close()

@@ -40,7 +40,7 @@ def test_sharded_matches_single_device():
     cf_r = jnp.broadcast_to(jnp.asarray(seq.frames[1].right), (B, h, w))
     R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
     t0 = jnp.zeros((B, 3), jnp.float32)
-    seeds = jnp.arange(B, dtype=jnp.int32)
+    seeds = jnp.zeros((B,), jnp.int32)   # identical seeds -> identical rows
 
     mesh = PM.make_mesh(4)
     sharded = PM.build_sharded_pair_step(seq.rig, cfg, mesh)
