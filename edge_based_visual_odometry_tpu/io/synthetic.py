@@ -82,7 +82,8 @@ def _render(K: np.ndarray, R: np.ndarray, t: np.ndarray,
         with np.errstate(divide="ignore", invalid="ignore"):
             lam = (plane_c + plane_n @ (R.T @ t)) / denom
         lam = np.where(lam > 0.1, lam, np.inf)
-        X_w = (lam[..., None] * d - t) @ R  # R^T (lam d - t)
+        lam_safe = np.where(np.isfinite(lam), lam, 0.0)
+        X_w = (lam_safe[..., None] * d - t) @ R  # R^T (lam d - t)
         tex = _texture(X_w[..., 0], X_w[..., 1], rng_seed=seed + 101 * pi)
         closer = lam < best_lam
         img = np.where(closer, tex, img)
