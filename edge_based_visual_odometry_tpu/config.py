@@ -106,6 +106,7 @@ class VOConfig:
     max_refine_pairs: int = 65536   # flat (row, cand) capacity for GN/post-NCC
     max_quad_candidates: int = 24   # per-KF-mate temporal candidate capacity
     quad_gather_slots: int = 576    # raw temporal grid-gather slots (total)
+    max_pose_quads: int = 16384     # flat quad budget for RANSAC scoring
     cell_capacity: int = 16         # per-grid-cell edge capacity
 
     # --- Descriptor (SIFT replacement; deliberate deviation, see

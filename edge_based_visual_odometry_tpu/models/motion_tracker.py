@@ -117,10 +117,15 @@ def lift_quads(kf: StereoMates, quads: TemporalQuads, rig: RigArrays,
     T_f = jnp.broadcast_to(T[:, None], (M, Cq, 3))
     cf_left = jnp.stack([quads.lcx, quads.lcy], -1)
     valid = flat(mask)
+    # The PROSAC sort puts valid quads first; truncate the flat list to the
+    # pose-quad budget so RANSAC scoring stays HBM-bounded (valid count is
+    # ~1-2 per KF row; overflow beyond the budget is dropped).
+    Q = min(cfg.max_pose_quads, M * Cq)
+    valid = valid[:Q]
     return PoseQuads(
-        gamma=flat(Gamma_f), gamma_bar=flat(Gamma_bar.reshape(M, Cq, 3)),
-        tangent=flat(T_f), tangent_bar=flat(T_bar.reshape(M, Cq, 3)),
-        cf_left=flat(cf_left), valid=valid,
+        gamma=flat(Gamma_f)[:Q], gamma_bar=flat(Gamma_bar.reshape(M, Cq, 3))[:Q],
+        tangent=flat(T_f)[:Q], tangent_bar=flat(T_bar.reshape(M, Cq, 3))[:Q],
+        cf_left=flat(cf_left)[:Q], valid=valid,
         n_valid=jnp.sum(valid).astype(jnp.int32))
 
 
@@ -187,13 +192,27 @@ def estimate_pose(pq: PoseQuads, rig: RigArrays, cfg: VOConfig,
 
     R, t = _pose_from_pair(g1, gb1, t1, tb1, g2, gb2, t2, tb2)
 
-    # --- scoring: (K, Q) reprojection errors (ref :155-173) ---
-    proj = jnp.einsum("kij,qj->kqi", R, pq.gamma) + t[:, None, :]
-    uvw = jnp.einsum("ij,kqj->kqi", rig.K_left, proj)
-    uv = uvw[..., :2] / uvw[..., 2:3]
-    err = jnp.linalg.norm(uv - pq.cf_left[None], axis=-1)
-    inl = (err < cfg.ransac_max_reproj_error) & pq.valid[None]
-    counts = jnp.sum(inl, axis=1)
+    # --- scoring (ref :155-173): chunked over hypotheses so the (K, Q)
+    # reprojection matrix never materializes in HBM ---
+    KG = jnp.einsum("ij,kjl->kil", rig.K_left, R)   # (K, 3, 3)
+    Kt = jnp.einsum("ij,kj->ki", rig.K_left, t)     # (K, 3)
+    chunk = 256
+
+    def score_chunk(args):
+        KG_c, Kt_c = args
+        uvw = (jnp.einsum("kij,qj->kqi", KG_c, pq.gamma)
+               + Kt_c[:, None, :])
+        uv = uvw[..., :2] / uvw[..., 2:3]
+        err = jnp.linalg.norm(uv - pq.cf_left[None], axis=-1)
+        inl = (err < cfg.ransac_max_reproj_error) & pq.valid[None]
+        return jnp.sum(inl, axis=1)
+
+    n_chunks = -(-K // chunk)
+    pad = n_chunks * chunk - K
+    KG_p = jnp.pad(KG, ((0, pad), (0, 0), (0, 0))).reshape(
+        n_chunks, chunk, 3, 3)
+    Kt_p = jnp.pad(Kt, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+    counts = jax.lax.map(score_chunk, (KG_p, Kt_p)).reshape(-1)[:K]
     counts = jnp.where(gate, counts, -1)
 
     best = jnp.argmax(counts)

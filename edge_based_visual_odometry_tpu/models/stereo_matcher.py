@@ -336,9 +336,15 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         spacing=cfg.desc_sample_spacing, clip=cfg.desc_clip,
         scale=cfg.desc_scale)
 
-    # ---- stage 4: descriptor gate (ref :691-787) ----
-    cand_desc = _scan_gather(r_desc, state.cand_idx)   # (N, C, 2, D)
-    ddist = DESC.min_cross_distance(l_desc[:, None], cand_desc)
+    # ---- stage 4: descriptor gate (ref :691-787). The distance is fused
+    # into the per-slot scan so the (N, C, 2, D) gathered descriptor tensor
+    # (~1 GB at production sizes) never materializes. ----
+    def _desc_dist_col(_, idx_col):
+        cand = r_desc[idx_col]                         # (N, 2, D)
+        return None, DESC.min_cross_distance(l_desc, cand)
+
+    _, ddist_cols = jax.lax.scan(_desc_dist_col, None, state.cand_idx.T)
+    ddist = ddist_cols.T                               # (N, C)
     state = state._replace(
         cmask=state.cmask & (ddist < cfg.sift_threshold),
         desc_dist=ddist)
@@ -355,13 +361,17 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     r_patches = jnp.stack([rp_p, rp_m], axis=1)
     r_patch_ok = jnp.stack([rok_p, rok_m], axis=1)
 
-    # ---- stage 5: NCC (ref :555-616) ----
-    c_patches = _scan_gather(r_patches, state.cand_idx)  # (N, C, 2, 49)
-    c_patch_ok = _scan_gather(r_patch_ok, state.cand_idx)
-    sim = P.ncc4(l_patches[:, None, 0], l_patches[:, None, 1],
-                 l_patch_ok[:, None, 0], l_patch_ok[:, None, 1],
-                 c_patches[:, :, 0], c_patches[:, :, 1],
-                 c_patch_ok[:, :, 0], c_patch_ok[:, :, 1])
+    # ---- stage 5: NCC (ref :555-616), fused into the per-slot scan ----
+    def _ncc_col(_, idx_col):
+        cp = r_patches[idx_col]                        # (N, 2, 49)
+        cok = r_patch_ok[idx_col]
+        s = P.ncc4(l_patches[:, 0], l_patches[:, 1],
+                   l_patch_ok[:, 0], l_patch_ok[:, 1],
+                   cp[:, 0], cp[:, 1], cok[:, 0], cok[:, 1])
+        return None, s
+
+    _, sim_cols = jax.lax.scan(_ncc_col, None, state.cand_idx.T)
+    sim = sim_cols.T
     state = state._replace(cmask=state.cmask & (sim > cfg.ncc_thresh),
                            ncc=sim)
     record(state)

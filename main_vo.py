@@ -51,9 +51,17 @@ def main(argv=None):
     dataset_type = cfg_yaml["dataset_type"]
     has_gt_disparity = dataset_type == "ETH3D_stereo"  # src/Dataset.cpp:126-129
 
+    import dataclasses
+
     vo_cfg = VOConfig()
     if args.max_edges:
-        vo_cfg = __import__("dataclasses").replace(vo_cfg, max_edges=args.max_edges)
+        # scale the dependent fixed-shape capacities with the edge budget
+        n = args.max_edges
+        vo_cfg = dataclasses.replace(
+            vo_cfg, max_edges=n, max_mates=max(256, n // 4),
+            max_refine_pairs=max(1024, 2 * n),
+            ransac_max_iterations=min(vo_cfg.ransac_max_iterations,
+                                      max(512, n // 4)))
 
     out_dir = args.output_dir or cfg_yaml.get("output_dir", "./outputs")
     os.makedirs(out_dir, exist_ok=True)
