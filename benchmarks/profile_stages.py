@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Per-stage device timing of the pipeline at KITTI resolution.
+
+Run on the accelerator: python benchmarks/profile_stages.py
+Times each jitted phase separately (post-compile) to direct kernel
+optimization work.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench(fn, *args, n=10):
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1e3  # ms
+
+
+def main():
+    from edge_based_visual_odometry_tpu import geometry as geom
+    from edge_based_visual_odometry_tpu.config import VOConfig
+    from edge_based_visual_odometry_tpu.io import synthetic as S
+    from edge_based_visual_odometry_tpu.models import motion_tracker as MT
+    from edge_based_visual_odometry_tpu.models import stereo_matcher as SM
+    from edge_based_visual_odometry_tpu.models import temporal_matcher as TM
+    from edge_based_visual_odometry_tpu.models.types import FrameData, RigArrays
+    from edge_based_visual_odometry_tpu.ops import descriptors as DESC
+    from edge_based_visual_odometry_tpu.ops import image as IMG
+    from edge_based_visual_odometry_tpu.ops import patches as P
+    from edge_based_visual_odometry_tpu.ops import toed
+
+    H, W = 376, 1241
+    cfg = VOConfig()
+    seq = S.make_sequence(n_frames=2, h=H, w=W)
+    rig = RigArrays.from_rig(seq.rig)
+    f0, f1 = seq.frames[0], seq.frames[1]
+
+    dev = jax.devices()[0]
+    left = jax.device_put(jnp.asarray(f0.left), dev)
+    right = jax.device_put(jnp.asarray(f0.right), dev)
+
+    grads = jax.jit(lambda a: IMG.sobel_gradients(a))
+    print(f"sobel x1:        {bench(grads, left):8.2f} ms", flush=True)
+
+    det = jax.jit(lambda a: toed.detect_edges(a, max_edges=cfg.max_edges))
+    print(f"toed x1:         {bench(det, left):8.2f} ms", flush=True)
+
+    led = det(left)
+    red = det(right)
+    lgx, lgy = grads(left)
+    rgx, rgy = grads(right)
+    frame = FrameData(left, right, lgx, lgy, rgx, rgy)
+
+    descf = jax.jit(lambda gx, gy, e: DESC.edge_descriptors(
+        gx, gy, e.x, e.y, e.theta))
+    print(f"descriptors x1:  {bench(descf, lgx, lgy, led):8.2f} ms", flush=True)
+
+    patchf = jax.jit(lambda img, e: P.edge_patches(
+        img, e.x, e.y, e.theta, cfg.patch_size, cfg.orthogonal_shift_mag))
+    print(f"patches x1:      {bench(patchf, left, led):8.2f} ms", flush=True)
+
+    stereo = jax.jit(lambda a, b, fr: SM.match_stereo(a, b, fr, rig, cfg))
+    print(f"stereo cascade:  {bench(stereo, led, red, frame):8.2f} ms", flush=True)
+
+    mates0, _, _ = stereo(led, red, frame)
+    led1 = det(jax.device_put(jnp.asarray(f1.left), dev))
+    red1 = det(jax.device_put(jnp.asarray(f1.right), dev))
+    l1gx, l1gy = grads(jax.device_put(jnp.asarray(f1.left), dev))
+    r1gx, r1gy = grads(jax.device_put(jnp.asarray(f1.right), dev))
+    frame1 = FrameData(jax.device_put(jnp.asarray(f1.left), dev),
+                       jax.device_put(jnp.asarray(f1.right), dev),
+                       l1gx, l1gy, r1gx, r1gy)
+    mates1, _, _ = stereo(led1, red1, frame1)
+
+    ident = geom.Pose.identity()
+    temporal = jax.jit(lambda m0, m1, fr0, fr1: TM.match_temporal(
+        m0, m1, fr0, fr1, ident, rig, cfg, use_gt=False))
+    print(f"temporal:        {bench(temporal, mates0, mates1, frame, frame1):8.2f} ms", flush=True)
+
+    quads, _ = temporal(mates0, mates1, frame, frame1)
+    lift = jax.jit(lambda m, q: MT.lift_quads(m, q, rig, cfg, use_gt=False))
+    print(f"lift_quads:      {bench(lift, mates0, quads):8.2f} ms", flush=True)
+
+    pq = lift(mates0, quads)
+    pose = jax.jit(lambda q: MT.estimate_pose(q, rig, cfg, jnp.int32(0)))
+    print(f"ransac+refine:   {bench(pose, pq):8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,7 @@ class PoseQuads(NamedTuple):
     tangent_bar: jnp.ndarray  # (Q, 3)
     cf_left: jnp.ndarray      # (Q, 2) CF left center (scoring target)
     valid: jnp.ndarray        # (Q,) bool
+    is_veridical: jnp.ndarray # (Q,) bool (eval-only; False without GT)
     n_valid: jnp.ndarray      # () int32
 
 
@@ -116,6 +117,15 @@ def lift_quads(kf: StereoMates, quads: TemporalQuads, rig: RigArrays,
     Gamma_f = jnp.broadcast_to(Gamma[:, None], (M, Cq, 3))
     T_f = jnp.broadcast_to(T[:, None], (M, Cq, 3))
     cf_left = jnp.stack([quads.lcx, quads.lcy], -1)
+    # eval-only veridical flag per candidate quad (b_is_TP, ref :85)
+    dl = jnp.sqrt((quads.lcx - quads.proj_left[:, 0:1]) ** 2
+                  + (quads.lcy - quads.proj_left[:, 1:2]) ** 2)
+    dr = jnp.sqrt((quads.rcx - quads.proj_right[:, 0:1]) ** 2
+                  + (quads.rcy - quads.proj_right[:, 1:2]) ** 2)
+    tp = quads.cmask & (dl < cfg.dist_to_gt_thresh_quads) \
+        & (dr < cfg.dist_to_gt_thresh_quads)
+    if not use_gt:
+        tp = jnp.zeros_like(tp)
     valid = flat(mask)
     # The PROSAC sort puts valid quads first; truncate the flat list to the
     # pose-quad budget so RANSAC scoring stays HBM-bounded (valid count is
@@ -126,6 +136,7 @@ def lift_quads(kf: StereoMates, quads: TemporalQuads, rig: RigArrays,
         gamma=flat(Gamma_f)[:Q], gamma_bar=flat(Gamma_bar.reshape(M, Cq, 3))[:Q],
         tangent=flat(T_f)[:Q], tangent_bar=flat(T_bar.reshape(M, Cq, 3))[:Q],
         cf_left=flat(cf_left)[:Q], valid=valid,
+        is_veridical=flat(tp)[:Q] & valid,
         n_valid=jnp.sum(valid).astype(jnp.int32))
 
 
@@ -147,6 +158,63 @@ def _pose_from_pair(g1, gb1, t1, tb1, g2, gb2, t2, tb2):
     R = Bb @ jnp.swapaxes(B, -1, -2)
     t = gb1 - jnp.einsum("...ij,...j->...i", R, g1)
     return R, t
+
+
+CONSTRAINT_STAGE_NAMES = (
+    "Baseline", "Normalized Length Constraint", "T1 Angle Similarity Constraint",
+    "T2 Angle Similarity Constraint", "Tangent Angle Similarity Constraint",
+)
+
+
+def constraint_sweep_metrics(pq: PoseQuads, cfg: VOConfig,
+                             seed: int | None = None):
+    """Diagnostic recall/precision of the 4 RANSAC constraint gates over
+    random quad pairs (Solution_Constraints_Application,
+    src/MotionTracker.cpp:255-381). Uses pq.is_veridical (eval mode).
+    Returns (5, 3) rows [recall, precision, n_surviving_veridical]
+    aligned with CONSTRAINT_STAGE_NAMES."""
+    is_veridical = pq.is_veridical
+    K = cfg.ransac_max_iterations
+    key = jax.random.PRNGKey(cfg.ransac_seed if seed is None else seed)
+    top_n = jnp.maximum(
+        (cfg.ransac_top_rank_percentage * pq.n_valid).astype(jnp.int32), 2)
+    k1, k2 = jax.random.split(key)
+    idx1 = jax.random.randint(k1, (K,), 0, 1 << 30) % top_n
+    idx2 = jax.random.randint(k2, (K,), 0, 1 << 30) % top_n
+    idx2 = jnp.where(idx2 == idx1, (idx2 + 1) % top_n, idx2)
+
+    g1, gb1 = pq.gamma[idx1], pq.gamma_bar[idx1]
+    t1, tb1 = pq.tangent[idx1], pq.tangent_bar[idx1]
+    g2, gb2 = pq.gamma[idx2], pq.gamma_bar[idx2]
+    t2, tb2 = pq.tangent[idx2], pq.tangent_bar[idx2]
+    ver = is_veridical[idx1] & is_veridical[idx2]
+
+    dG = g2 - g1
+    dGb = gb2 - gb1
+    lG = jnp.linalg.norm(dG, axis=-1)
+    lGb = jnp.linalg.norm(dGb, axis=-1)
+    gates = [
+        jnp.ones((K,), bool),
+        jnp.abs(lG - lGb) / lG < cfg.tau_c1,
+        jnp.abs(jnp.abs(jnp.sum(dG * t1, -1) / lG)
+                - jnp.abs(jnp.sum(dGb * tb1, -1) / lGb)) < cfg.tau_c2,
+        jnp.abs(jnp.abs(jnp.sum(dG * t2, -1) / lG)
+                - jnp.abs(jnp.sum(dGb * tb2, -1) / lGb)) < cfg.tau_c3,
+        jnp.abs(jnp.abs(jnp.sum(t1 * t2, -1))
+                - jnp.abs(jnp.sum(tb1 * tb2, -1))) < cfg.tau_c4,
+    ]
+    init_ver = jnp.sum(ver)
+    rows = []
+    surviving = jnp.ones((K,), bool)
+    for g in gates:
+        surviving = surviving & g
+        n_surv = jnp.sum(surviving)
+        n_ver = jnp.sum(surviving & ver)
+        recall = n_ver / jnp.maximum(init_ver, 1)
+        precision = n_ver / jnp.maximum(n_surv, 1)
+        rows.append(jnp.stack([recall, precision,
+                               n_ver.astype(jnp.float32)]))
+    return jnp.stack(rows)
 
 
 def estimate_pose(pq: PoseQuads, rig: RigArrays, cfg: VOConfig,

@@ -131,7 +131,18 @@ class VOPipeline:
     cfg: VOConfig
     has_gt_disparity: bool = False
     use_gt_pose: bool = False
-    rekeyframe_min_inlier_ratio: float = 0.0   # 0 -> reference behavior
+    # Keyframe policy. The reference keeps exactly frame 0 as keyframe
+    # forever (src/Pipeline.cpp:133-137) - fine for its 2-frame research
+    # runs, unusable for long sequences (the temporal search radius is
+    # 30 px around the KF edge locations). Policies:
+    #   "reference"   - frame 0 only (reference behavior)
+    #   "every_frame" - previous frame becomes the keyframe (frame-to-frame
+    #                   VO; robust default for real sequences)
+    #   "adaptive"    - re-keyframe when tracking quality drops below
+    #                   rekeyframe_min_inlier_ratio / rekeyframe_min_quads
+    keyframe_policy: str = "every_frame"
+    rekeyframe_min_inlier_ratio: float = 0.4
+    rekeyframe_min_quads: int = 50
 
     def __post_init__(self):
         self._stereo_step = build_stereo_step(
@@ -182,14 +193,20 @@ class VOPipeline:
             self.last_rel = rel_est
             cam_pose = rel_est.compose(self.kf_pose_est)
             self.trajectory.append(cam_pose)
-            if (self.rekeyframe_min_inlier_ratio > 0
-                    and float(tr.inlier_ratio)
-                    < self.rekeyframe_min_inlier_ratio):
+            if self._should_rekeyframe(tr):
                 self.kf_pose_est = cam_pose
                 self._set_keyframe(fr, gt_pose)
                 self.last_rel = geom.Pose.identity()
         self.frame_idx += 1
         return fr, tr
+
+    def _should_rekeyframe(self, tr: TemporalResult) -> bool:
+        if self.keyframe_policy == "reference":
+            return False
+        if self.keyframe_policy == "every_frame":
+            return True
+        return (float(tr.inlier_ratio) < self.rekeyframe_min_inlier_ratio
+                or int(tr.n_quads) < self.rekeyframe_min_quads)
 
     def _set_keyframe(self, fr: FrameResult, gt_pose: Optional[geom.Pose]):
         self.keyframe = fr

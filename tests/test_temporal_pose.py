@@ -94,3 +94,18 @@ def test_pose_recovery_production_mode(two_frames):
     assert ang < 1.5, f"rotation error {ang:.3f} deg"
     assert t_err < 0.08, f"translation error {t_err:.4f} m"
     assert float(res.inlier_ratio) > 0.3
+
+
+def test_constraint_sweep(two_frames):
+    """Diagnostic constraint recall/precision sweep
+    (reference Solution_Constraints_Application)."""
+    seq, rig, frames, rel = two_frames
+    (f0, fd0, m0), (f1, fd1, m1) = frames
+    quads, _ = TM.match_temporal(m0, m1, fd0, fd1, rel, rig, CFG, use_gt=True)
+    pq = MT.lift_quads(m0, quads, rig, CFG, use_gt=True)
+    rows = np.asarray(MT.constraint_sweep_metrics(pq, CFG))
+    assert rows.shape == (5, 3)
+    assert abs(rows[0, 0] - 1.0) < 1e-6           # baseline recall 1
+    assert np.all(np.diff(rows[:, 2]) <= 1e-6)    # veridical count shrinks
+    # constraints should improve precision over baseline
+    assert rows[-1, 1] >= rows[0, 1]
