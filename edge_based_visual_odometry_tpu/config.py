@@ -107,6 +107,8 @@ class VOConfig:
     max_quad_candidates: int = 24   # per-KF-mate temporal candidate capacity
     quad_gather_slots: int = 576    # raw temporal grid-gather slots (total)
     max_pose_quads: int = 16384     # flat quad budget for RANSAC scoring
+    sample_chunk: int = 2048        # candidates per chunk in tiled sampling
+                                    # (bounds tile-buffer HBM working set)
     cell_capacity: int = 16         # per-grid-cell edge capacity
 
     # --- Descriptor (SIFT replacement; deliberate deviation, see

@@ -322,19 +322,19 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
                        else jnp.zeros((4,), jnp.float32))
 
     # ---- descriptors for all edges (augment_Edge_Data, ref :655-689) ----
-    l_desc = DESC.edge_descriptors(
+    l_desc = DESC.edge_descriptors_tiled(
         frame.left_gx, frame.left_gy, lx, ly, lt,
         shift_mag=cfg.sift_shift_mag, n_samples=cfg.desc_patch_samples,
         n_spatial=cfg.desc_spatial_bins, n_orient=cfg.desc_orient_bins,
         spacing=cfg.desc_sample_spacing, clip=cfg.desc_clip,
-        scale=cfg.desc_scale)
-    r_desc = DESC.edge_descriptors(
+        scale=cfg.desc_scale, chunk=cfg.sample_chunk)
+    r_desc = DESC.edge_descriptors_tiled(
         frame.right_gx, frame.right_gy, right_edges.x, right_edges.y,
         right_edges.theta,
         shift_mag=cfg.sift_shift_mag, n_samples=cfg.desc_patch_samples,
         n_spatial=cfg.desc_spatial_bins, n_orient=cfg.desc_orient_bins,
         spacing=cfg.desc_sample_spacing, clip=cfg.desc_clip,
-        scale=cfg.desc_scale)
+        scale=cfg.desc_scale, chunk=cfg.sample_chunk)
 
     # ---- stage 4: descriptor gate (ref :691-787). The distance is fused
     # into the per-slot scan so the (N, C, 2, D) gathered descriptor tensor
@@ -351,13 +351,14 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     record(state)
 
     # ---- patches for NCC (get_edge_patches, utility.cpp:182-212) ----
-    lp_p, lp_m, lok_p, lok_m = P.edge_patches(
-        frame.left, lx, ly, lt, cfg.patch_size, cfg.orthogonal_shift_mag)
+    lp_p, lp_m, lok_p, lok_m = P.edge_patches_tiled(
+        frame.left, lx, ly, lt, cfg.patch_size, cfg.orthogonal_shift_mag,
+        chunk=cfg.sample_chunk)
     l_patches = jnp.stack([lp_p, lp_m], axis=1)        # (N, 2, 49)
     l_patch_ok = jnp.stack([lok_p, lok_m], axis=1)
-    rp_p, rp_m, rok_p, rok_m = P.edge_patches(
+    rp_p, rp_m, rok_p, rok_m = P.edge_patches_tiled(
         frame.right, right_edges.x, right_edges.y, right_edges.theta,
-        cfg.patch_size, cfg.orthogonal_shift_mag)
+        cfg.patch_size, cfg.orthogonal_shift_mag, chunk=cfg.sample_chunk)
     r_patches = jnp.stack([rp_p, rp_m], axis=1)
     r_patch_ok = jnp.stack([rok_p, rok_m], axis=1)
 
@@ -391,14 +392,13 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     rows, slots, fmask = _flatten_active(state.cmask, cfg.max_refine_pairs)
     epi_dir = jnp.stack([-state.epi_line[:, 1], state.epi_line[:, 0]], -1)
     epi_dir = epi_dir / jnp.linalg.norm(epi_dir, axis=-1, keepdims=True)
-    f_ref = jax.vmap(
-        lambda r, c: GN.refine_along_epipolar(
-            frame.left, frame.right, frame.right_gx, frame.right_gy,
-            state.lx[r], state.ly[r], state.ltheta[r],
-            state.cx[r, c], state.cy[r, c], epi_dir[r],
-            patch_size=cfg.patch_size, max_iter=cfg.gn_max_iter,
-            tol=cfg.gn_tol, huber_delta=cfg.huber_delta))
-    res = f_ref(rows, slots)
+    res = GN.refine_along_epipolar_batch(
+        frame.left, frame.right, frame.right_gx, frame.right_gy,
+        state.lx[rows], state.ly[rows], state.ltheta[rows],
+        state.cx[rows, slots], state.cy[rows, slots], epi_dir[rows],
+        patch_size=cfg.patch_size, max_iter=cfg.gn_max_iter,
+        tol=cfg.gn_tol, huber_delta=cfg.huber_delta,
+        chunk=cfg.sample_chunk)
     shift_x = res.delta * epi_dir[rows, 0]
     shift_y = res.delta * epi_dir[rows, 1]
     state = state._replace(
@@ -430,8 +430,9 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     fx = state.cx[rows, slots]
     fy = state.cy[rows, slots]
     ft = state.ctheta[rows, slots]
-    pp, pm, okp, okm = P.edge_patches(
-        frame.right, fx, fy, ft, cfg.patch_size, cfg.orthogonal_shift_mag)
+    pp, pm, okp, okm = P.edge_patches_tiled(
+        frame.right, fx, fy, ft, cfg.patch_size, cfg.orthogonal_shift_mag,
+        chunk=cfg.sample_chunk)
     sim_f = P.ncc4(l_patches[rows, 0], l_patches[rows, 1],
                    l_patch_ok[rows, 0], l_patch_ok[rows, 1],
                    pp, pm, okp, okm)
@@ -479,18 +480,19 @@ def _finalize(state: StereoState, frame: FrameData, rig: RigArrays,
     lt = state.ltheta[row_of]
 
     # right patches at final positions (ref :1622)
-    pp, pm, okp, okm = P.edge_patches(
-        frame.right, rx, ry, rt, cfg.patch_size, cfg.orthogonal_shift_mag)
+    pp, pm, okp, okm = P.edge_patches_tiled(
+        frame.right, rx, ry, rt, cfg.patch_size, cfg.orthogonal_shift_mag,
+        chunk=cfg.sample_chunk)
     r_patches = jnp.stack([pp, pm], axis=1)
     r_patch_ok = jnp.stack([okp, okm], axis=1)
 
     # right descriptors at final positions (ref :1627-1635)
-    r_desc = DESC.edge_descriptors(
+    r_desc = DESC.edge_descriptors_tiled(
         frame.right_gx, frame.right_gy, rx, ry, rt,
         shift_mag=cfg.sift_shift_mag, n_samples=cfg.desc_patch_samples,
         n_spatial=cfg.desc_spatial_bins, n_orient=cfg.desc_orient_bins,
         spacing=cfg.desc_sample_spacing, clip=cfg.desc_clip,
-        scale=cfg.desc_scale)
+        scale=cfg.desc_scale, chunk=cfg.sample_chunk)
 
     # production 3D point: two-ray backprojection of the matched pair
     # (the pose stage re-derives exactly this, MotionTracker.cpp:34-47)

@@ -273,12 +273,13 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
     rows, slots, fmask = _flatten_active(q.cmask, cfg.max_refine_pairs)
 
     def refine_side(kf_img, cf_img, cf_gx, cf_gy, kx, ky, kt, ccx, ccy, cct):
-        f = jax.vmap(lambda r, c: GN.refine_2dof(
+        return GN.refine_2dof_batch(
             kf_img, cf_img, cf_gx, cf_gy,
-            kx[r], ky[r], kt[r], ccx[r, c], ccy[r, c], cct[r, c],
+            kx[rows], ky[rows], kt[rows],
+            ccx[rows, slots], ccy[rows, slots], cct[rows, slots],
             patch_size=cfg.patch_size, max_iter=cfg.gn_max_iter,
-            tol=cfg.gn_tol, huber_delta=cfg.temporal_huber_delta))
-        return f(rows, slots)
+            tol=cfg.gn_tol, huber_delta=cfg.temporal_huber_delta,
+            chunk=cfg.sample_chunk)
 
     res_l = refine_side(kf_frame.left, cf_frame.left,
                         cf_frame.left_gx, cf_frame.left_gy,

@@ -111,6 +111,77 @@ def edge_descriptors(gx_img, gy_img, x, y, theta, shift_mag: float = 8.0,
     return jnp.stack([d_plus, d_minus], axis=1)
 
 
+def edge_descriptors_tiled(gx_img, gy_img, x, y, theta, shift_mag: float = 8.0,
+                           n_samples: int = 16, n_spatial: int = 4,
+                           n_orient: int = 8, spacing: float = 1.0,
+                           clip: float = 0.2, scale: float = 512.0,
+                           tile: int = 32, chunk: int = 8192):
+    """Batched descriptor computation via tile-resident sampling and a
+    factorized histogram einsum (no per-sample scatter-adds - those are as
+    pathological on TPU as element gathers). Numerically identical binning
+    to `edge_descriptors`: separable hat weights over spatial cells
+    reproduce the bilinear corner assignment (incl. boundary clamping),
+    and a circular hat reproduces the two-bin orientation interpolation.
+
+    x, y, theta: (N,). Returns (N, 2, D).
+    """
+    from edge_based_visual_odometry_tpu.ops import tiled_sampling as TS
+
+    N = x.shape[0]
+    S = n_samples * n_samples
+    D = n_spatial * n_spatial * n_orient
+    half = (n_samples - 1) / 2.0
+    offs = (jnp.arange(n_samples, dtype=jnp.float32) - half) * spacing
+    ii = jnp.repeat(offs, n_samples)
+    jj = jnp.tile(offs, n_samples)
+    sigma = n_samples * spacing / 2.0
+    gauss = jnp.exp(-(ii * ii + jj * jj) / (2.0 * sigma * sigma))
+    cell = n_samples / n_spatial
+    u_base = jnp.clip((ii + half * spacing) / (cell * spacing) - 0.5,
+                      0.0, n_spatial - 1.0)
+    v_base = jnp.clip((jj + half * spacing) / (cell * spacing) - 0.5,
+                      0.0, n_spatial - 1.0)
+    sp_iota = jnp.arange(n_spatial, dtype=jnp.float32)
+    Wu = jnp.maximum(0.0, 1.0 - jnp.abs(u_base[:, None] - sp_iota))  # (S,4)
+    Wv = jnp.maximum(0.0, 1.0 - jnp.abs(v_base[:, None] - sp_iota))
+    or_iota = jnp.arange(n_orient, dtype=jnp.float32)
+    maps = jnp.stack([gx_img, gy_img])
+
+    # keypoints: (2N,) plus/minus shifted
+    from edge_based_visual_odometry_tpu.ops import patches as P
+
+    plus, minus = P.orthogonal_shifted_points(x, y, theta, shift_mag)
+    kx = jnp.concatenate([plus[:, 0], minus[:, 0]])
+    ky = jnp.concatenate([plus[:, 1], minus[:, 1]])
+    kt = jnp.concatenate([theta, theta])
+
+    def run_chunk(args):
+        kx_c, ky_c, kt_c = args
+        ct = jnp.cos(kt_c)[:, None]
+        st = jnp.sin(kt_c)[:, None]
+        sx = kx_c[:, None] + ct * ii - st * jj
+        sy = ky_c[:, None] + st * ii + ct * jj
+        vals = TS.sample_maps_tiled(maps, kx_c, ky_c, sx, sy, tile)
+        gx = vals[:, 0]
+        gy = vals[:, 1]
+        mag = jnp.sqrt(gx * gx + gy * gy) * gauss
+        ang = jnp.arctan2(gy, gx) - kt_c[:, None]
+        ob = (ang % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * n_orient
+        dd = jnp.abs(ob[..., None] - or_iota)
+        dd = jnp.minimum(dd, n_orient - dd)
+        Wo = jnp.maximum(0.0, 1.0 - dd)                  # (b, S, 8)
+        desc = jnp.einsum("ks,su,sv,kso->kuvo", mag, Wu, Wv, Wo)
+        desc = desc.reshape(desc.shape[0], D)
+        norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+        desc = desc / jnp.maximum(norm, 1e-7)
+        desc = jnp.minimum(desc, clip)
+        norm2 = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+        return desc / jnp.maximum(norm2, 1e-7) * scale
+
+    out = TS.map_chunked(run_chunk, (kx, ky, kt), 2 * N, chunk)
+    return jnp.stack([out[:N], out[N:]], axis=1)
+
+
 def min_cross_distance(desc_a, desc_b):
     """min of the 4 cross L2 distances between two 2-keypoint descriptors
     (Stereo_Matches.cpp:736-740). desc_a, desc_b: (..., 2, D)."""

@@ -199,3 +199,188 @@ def refine_2dof(kf_img, cf_img, cf_gx, cf_gy,
     (d, _, score, conf, valid, _), _ = jax.lax.scan(
         body, init, None, length=max_iter)
     return RefineResult(d, score, conf, valid)
+
+
+# ---------------------------------------------------------------------------
+# Batched tile-resident refiners (the TPU production path).
+#
+# The scalar+vmap versions above lower every bilinear sample to an element
+# gather - O(10^8) random accesses per frame, catastrophic on TPU. These
+# variants fetch one tile per candidate up front (slice-gather) and turn
+# all in-tile sampling into batched einsums (ops/tiled_sampling.py),
+# processing candidates in sequential chunks to bound HBM.
+# ---------------------------------------------------------------------------
+
+from edge_based_visual_odometry_tpu.ops import tiled_sampling as TS  # noqa: E402
+
+
+def _rotated_two_side_coords(cx, cy, theta, n, side, patch_size):
+    """(B, 2*P*P, 2) coords of the plus/minus rotated patches around
+    (cx, cy) shifted +-side along n. All args (B,)-shaped."""
+    c_plus = jnp.stack([cx, cy], -1) + n * side
+    c_minus = jnp.stack([cx, cy], -1) - n * side
+    cp = P.rotated_patch_coords(c_plus[..., 0], c_plus[..., 1], theta, patch_size)
+    cm = P.rotated_patch_coords(c_minus[..., 0], c_minus[..., 1], theta, patch_size)
+    return jnp.concatenate([cp, cm], axis=-2)
+
+
+def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
+                                lx, ly, ltheta, rx, ry, epi_dir,
+                                patch_size: int = 7, max_iter: int = 20,
+                                tol: float = 1e-3, huber_delta: float = 1.0,
+                                tile: int = 32, chunk: int = 2048
+                                ) -> RefineResult:
+    """Batched 1-DoF epipolar GN (same math as refine_along_epipolar).
+    All edge args (B,); epi_dir (B, 2). GN travel is bounded by the tile
+    (+-(tile/2 - patch extent) px; documented deviation)."""
+    B = lx.shape[0]
+    side = patch_size / 2.0 + 1.0
+    pp = patch_size * patch_size
+    n_samples = 2 * pp
+    right_maps = jnp.stack([right_img, right_gx, right_gy])
+    left_maps = left_img[None]
+    H, W = left_img.shape
+
+    def run_chunk(args):
+        lx_c, ly_c, lt_c, rx_c, ry_c, dir_c = args
+        t = jnp.stack([jnp.cos(lt_c), jnp.sin(lt_c)], -1)
+        n = jnp.stack([-t[..., 1], t[..., 0]], -1)
+
+        lcoords = _rotated_two_side_coords(lx_c, ly_c, lt_c, n, side,
+                                           patch_size)
+        lvals = TS.sample_maps_tiled(left_maps, lx_c, ly_c,
+                                     lcoords[..., 0], lcoords[..., 1],
+                                     tile)[:, 0]                  # (b, 2pp)
+        lp = lvals[:, :pp]
+        lm = lvals[:, pp:]
+        lp = lp - jnp.mean(lp, -1, keepdims=True)
+        lm = lm - jnp.mean(lm, -1, keepdims=True)
+
+        ox, oy = TS.tile_origins(rx_c, ry_c, tile, H, W)
+        tiles = TS.gather_tiles(right_maps, ox, oy, tile)         # (b,3,T,T)
+
+        def body(carry, _):
+            alpha, done, score, conf, valid, it = carry
+            shift = alpha[:, None] * dir_c
+            rc = _rotated_two_side_coords(rx_c + shift[:, 0],
+                                          ry_c + shift[:, 1],
+                                          lt_c, n, side, patch_size)
+            vals = TS.bilinear_sample_tiles(tiles, ox, oy,
+                                            rc[..., 0], rc[..., 1])
+            rv = vals[:, 0]
+            gx = vals[:, 1]
+            gy = vals[:, 2]
+            rvp = rv[:, :pp] - jnp.mean(rv[:, :pp], -1, keepdims=True)
+            rvm = rv[:, pp:] - jnp.mean(rv[:, pp:], -1, keepdims=True)
+            r = jnp.concatenate([lp - rvp, lm - rvm], -1)
+            g = -gx * dir_c[:, 0:1] + gy * dir_c[:, 1:2]
+            absr = jnp.abs(r)
+            w = jnp.where(absr <= huber_delta, 1.0, huber_delta / absr)
+            Hh = jnp.sum(w * g * g, -1)
+            b = jnp.sum(w * g * r, -1)
+            cost = jnp.sum(w * r * r, -1)
+
+            degenerate = Hh < 1e-8
+            delta = jnp.where(degenerate, 0.0, -b / jnp.maximum(Hh, 1e-8))
+            new_alpha = alpha + delta
+            rms = jnp.sqrt(cost / n_samples)
+            converged = (jnp.abs(delta) < tol) | (it == max_iter - 1)
+            is_outlier = (rms > huber_delta * 2.0) | (it < 1)
+            finish = converged & ~done & ~degenerate
+            score = jnp.where(finish, rms, score)
+            conf = jnp.where(finish, jnp.exp(-rms / huber_delta), conf)
+            valid = jnp.where(finish, ~is_outlier, valid)
+            alpha = jnp.where(done | degenerate, alpha, new_alpha)
+            done = done | converged | degenerate
+            return (alpha, done, score, conf, valid, it + 1), None
+
+        b = lx_c.shape[0]
+        init = (jnp.zeros(b), jnp.zeros(b, bool), jnp.full(b, 1e6),
+                jnp.zeros(b), jnp.zeros(b, bool), jnp.int32(0))
+        (alpha, _, score, conf, valid, _), _ = jax.lax.scan(
+            body, init, None, length=max_iter)
+        return RefineResult(alpha, score, conf, valid)
+
+    return TS.map_chunked(run_chunk, (lx, ly, ltheta, rx, ry, epi_dir),
+                          B, chunk)
+
+
+def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
+                      kx, ky, ktheta, cx, cy, ctheta,
+                      patch_size: int = 7, max_iter: int = 20,
+                      tol: float = 1e-3, huber_delta: float = 3.0,
+                      tile: int = 32, chunk: int = 2048) -> RefineResult:
+    """Batched 2-DoF photometric GN (same math as refine_2dof)."""
+    B = kx.shape[0]
+    side = patch_size / 2.0 + 1.0
+    pp = patch_size * patch_size
+    n_samples = 2 * pp
+    cf_maps = jnp.stack([cf_img, cf_gx, cf_gy])
+    kf_maps = kf_img[None]
+    H, W = kf_img.shape
+
+    def run_chunk(args):
+        kx_c, ky_c, kt_c, cx_c, cy_c, ct_c = args
+        t_kf = jnp.stack([jnp.cos(kt_c), jnp.sin(kt_c)], -1)
+        n_kf = jnp.stack([-t_kf[..., 1], t_kf[..., 0]], -1)
+        lcoords = _rotated_two_side_coords(kx_c, ky_c, kt_c, n_kf, side,
+                                           patch_size)
+        lvals = TS.sample_maps_tiled(kf_maps, kx_c, ky_c,
+                                     lcoords[..., 0], lcoords[..., 1],
+                                     tile)[:, 0]
+        lp = lvals[:, :pp] - jnp.mean(lvals[:, :pp], -1, keepdims=True)
+        lm = lvals[:, pp:] - jnp.mean(lvals[:, pp:], -1, keepdims=True)
+
+        t_cf = jnp.stack([jnp.cos(ct_c), jnp.sin(ct_c)], -1)
+        n_cf = jnp.stack([-t_cf[..., 1], t_cf[..., 0]], -1)
+        ox, oy = TS.tile_origins(cx_c, cy_c, tile, H, W)
+        tiles = TS.gather_tiles(cf_maps, ox, oy, tile)
+        d0 = jnp.stack([kx_c - cx_c, ky_c - cy_c], -1)
+        kf_loc = jnp.stack([kx_c, ky_c], -1)
+        reg = 1e-6 * n_samples
+
+        def body(carry, _):
+            d, done, score, conf, valid, it = carry
+            loc = kf_loc - d
+            rc = _rotated_two_side_coords(loc[:, 0], loc[:, 1], ct_c, n_cf,
+                                          side, patch_size)
+            vals = TS.bilinear_sample_tiles(tiles, ox, oy,
+                                            rc[..., 0], rc[..., 1])
+            rv, gx, gy = vals[:, 0], vals[:, 1], vals[:, 2]
+            rvp = rv[:, :pp] - jnp.mean(rv[:, :pp], -1, keepdims=True)
+            rvm = rv[:, pp:] - jnp.mean(rv[:, pp:], -1, keepdims=True)
+            r = jnp.concatenate([lp - rvp, lm - rvm], -1)
+            absr = jnp.abs(r)
+            w = jnp.where(absr < huber_delta, 1.0, huber_delta / absr)
+            H00 = jnp.sum(w * gx * gx, -1) + reg
+            H01 = jnp.sum(w * gx * gy, -1)
+            H11 = jnp.sum(w * gy * gy, -1) + reg
+            b0 = jnp.sum(w * gx * r, -1)
+            b1 = jnp.sum(w * gy * r, -1)
+            cost = jnp.sum(w * r * r, -1)
+            det = H00 * H11 - H01 * H01
+            inv = 1.0 / det
+            delta = jnp.stack([-(H11 * b0 - H01 * b1) * inv,
+                               -(-H01 * b0 + H00 * b1) * inv], -1)
+            new_d = d + delta
+            rms = jnp.sqrt(cost / n_samples)
+            converged = ((jnp.linalg.norm(delta, axis=-1) < tol)
+                         | (it == max_iter - 1))
+            is_outlier = (rms > huber_delta * 2.0) | (it < 1)
+            finish = converged & ~done
+            score = jnp.where(finish, rms, score)
+            conf = jnp.where(finish, jnp.exp(-rms / huber_delta), conf)
+            valid = jnp.where(finish, ~is_outlier, valid)
+            d = jnp.where(done[:, None], d, new_d)
+            done = done | converged
+            return (d, done, score, conf, valid, it + 1), None
+
+        b = kx_c.shape[0]
+        init = (d0, jnp.zeros(b, bool), jnp.full(b, 1e6),
+                jnp.zeros(b), jnp.zeros(b, bool), jnp.int32(0))
+        (d, _, score, conf, valid, _), _ = jax.lax.scan(
+            body, init, None, length=max_iter)
+        return RefineResult(d, score, conf, valid)
+
+    return TS.map_chunked(run_chunk, (kx, ky, ktheta, cx, cy, ctheta),
+                          B, chunk)

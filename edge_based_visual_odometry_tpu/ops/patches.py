@@ -122,6 +122,43 @@ def edge_patches(img, x, y, theta, patch_size: int, shift_mag: float):
     return vp, vm, okp, okm
 
 
+def edge_patches_tiled(img, x, y, theta, patch_size: int, shift_mag: float,
+                       tile: int = 24, chunk: int = 8192):
+    """Batched two-side edge patches via tile-resident sampling
+    (ops/tiled_sampling.py) - same outputs as `edge_patches` but with one
+    slice-gathered tile per edge instead of per-sample element gathers.
+
+    x, y, theta: (B,). Returns (patch_plus, patch_minus, ok_plus, ok_minus)
+    with patches (B, P*P).
+    """
+    from edge_based_visual_odometry_tpu.ops import tiled_sampling as TS
+
+    B = x.shape[0]
+    pp = patch_size * patch_size
+    H, W = img.shape
+    maps = img[None]
+
+    def run_chunk(args):
+        x_c, y_c, t_c = args
+        plus, minus = orthogonal_shifted_points(x_c, y_c, t_c, shift_mag)
+        cp = rotated_patch_coords(plus[..., 0], plus[..., 1], t_c, patch_size)
+        cm = rotated_patch_coords(minus[..., 0], minus[..., 1], t_c, patch_size)
+        coords = jnp.concatenate([cp, cm], axis=-2)      # (b, 2pp, 2)
+        vals = TS.sample_maps_tiled(maps, x_c, y_c,
+                                    coords[..., 0], coords[..., 1],
+                                    tile)[:, 0]
+        # NaN-variant OOB validity (utility.h:95-99), computed from coords
+        cx_ = coords[..., 0]
+        cy_ = coords[..., 1]
+        inb = ((jnp.floor(cx_) >= 0) & (jnp.floor(cy_) >= 0)
+               & (jnp.ceil(cx_) <= W - 1) & (jnp.ceil(cy_) <= H - 1))
+        okp = jnp.all(inb[:, :pp], -1)
+        okm = jnp.all(inb[:, pp:], -1)
+        return vals[:, :pp], vals[:, pp:], okp, okm
+
+    return TS.map_chunked(run_chunk, (x, y, theta), B, chunk)
+
+
 def ncc(p1, p2, valid=None, eps: float = 1e-10):
     """Normalized cross-correlation of (..., K) patches
     (src/utility.cpp:163-180). Returns -1 where degenerate or invalid."""
