@@ -145,8 +145,25 @@ class VOPipeline:
     rekeyframe_min_quads: int = 50
 
     def __post_init__(self):
+        has_dist = (any(abs(d) > 0 for d in self.rig.left.distortion[:4])
+                    or any(abs(d) > 0 for d in self.rig.right.distortion[:4]))
+        self._undistort_on_host = False
+        rig_for_device = self.rig
+        if has_dist:
+            try:
+                import cv2  # noqa: F401
+                import dataclasses as _dc
+                self._undistort_on_host = True
+                rig_for_device = _dc.replace(
+                    self.rig,
+                    left=_dc.replace(self.rig.left,
+                                     distortion=(0.0, 0.0, 0.0, 0.0)),
+                    right=_dc.replace(self.rig.right,
+                                      distortion=(0.0, 0.0, 0.0, 0.0)))
+            except ImportError:
+                pass   # device-side undistort fallback (ops/image.py)
         self._stereo_step = build_stereo_step(
-            self.rig, self.cfg, self.has_gt_disparity)
+            rig_for_device, self.cfg, self.has_gt_disparity)
         self._temporal_step = build_temporal_step(
             self.rig, self.cfg, self.use_gt_pose)
         self.keyframe: Optional[FrameResult] = None
@@ -158,11 +175,23 @@ class VOPipeline:
         self.temporal_metrics_log = []
         self.last_rel = geom.Pose.identity()             # previous KF->CF
 
+    def _host_undistort(self, img, cam):
+        """Undistort on the host like the reference (cv::undistort,
+        src/Pipeline.cpp:78-79): full-image per-pixel resampling is a poor
+        fit for the device; the host absorbs it alongside decode."""
+        import cv2
+        return cv2.undistort(np.asarray(img, np.float32),
+                             np.asarray(cam.K),
+                             np.asarray(cam.distortion[:4], np.float64))
+
     def run_frame(self, left_img: np.ndarray, right_img: np.ndarray,
                   disparity: Optional[np.ndarray] = None,
                   gt_pose: Optional[geom.Pose] = None):
         """Process one stereo frame; returns (FrameResult,
         TemporalResult | None)."""
+        if self._undistort_on_host:
+            left_img = self._host_undistort(left_img, self.rig.left)
+            right_img = self._host_undistort(right_img, self.rig.right)
         if self.has_gt_disparity:
             fr = self._stereo_step(jnp.asarray(left_img),
                                    jnp.asarray(right_img),
