@@ -144,6 +144,10 @@ def edge_descriptors_tiled(gx_img, gy_img, x, y, theta, shift_mag: float = 8.0,
     sp_iota = jnp.arange(n_spatial, dtype=jnp.float32)
     Wu = jnp.maximum(0.0, 1.0 - jnp.abs(u_base[:, None] - sp_iota))  # (S,4)
     Wv = jnp.maximum(0.0, 1.0 - jnp.abs(v_base[:, None] - sp_iota))
+    # Spatial bin weights are STATIC (sample offsets live in the rotated
+    # frame), so the spatial part of the histogram is one constant (S, 16)
+    # matrix and binning becomes a clean batched GEMM over samples.
+    SP = jnp.einsum("su,sv->suv", Wu, Wv).reshape(S, n_spatial * n_spatial)
     or_iota = jnp.arange(n_orient, dtype=jnp.float32)
     maps = jnp.stack([gx_img, gy_img])
 
@@ -170,7 +174,8 @@ def edge_descriptors_tiled(gx_img, gy_img, x, y, theta, shift_mag: float = 8.0,
         dd = jnp.abs(ob[..., None] - or_iota)
         dd = jnp.minimum(dd, n_orient - dd)
         Wo = jnp.maximum(0.0, 1.0 - dd)                  # (b, S, 8)
-        desc = jnp.einsum("ks,su,sv,kso->kuvo", mag, Wu, Wv, Wo)
+        T = mag[..., None] * Wo                          # (b, S, 8)
+        desc = jnp.einsum("sp,kso->kpo", SP, T)          # batched GEMM
         desc = desc.reshape(desc.shape[0], D)
         norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
         desc = desc / jnp.maximum(norm, 1e-7)

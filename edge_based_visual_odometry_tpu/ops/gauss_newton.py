@@ -228,12 +228,18 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
                                 lx, ly, ltheta, rx, ry, epi_dir,
                                 patch_size: int = 7, max_iter: int = 20,
                                 tol: float = 1e-3, huber_delta: float = 1.0,
-                                tile: int = 32, chunk: int = 2048
-                                ) -> RefineResult:
+                                tile: int = 32, chunk: int = 2048,
+                                active=None) -> RefineResult:
     """Batched 1-DoF epipolar GN (same math as refine_along_epipolar).
     All edge args (B,); epi_dir (B, 2). GN travel is bounded by the tile
-    (+-(tile/2 - patch extent) px; documented deviation)."""
+    (+-(tile/2 - patch extent) px; documented deviation).
+
+    `active`: optional (B,) mask - inactive lanes start converged, so with
+    actives packed first (the flat-compaction layout) whole tail chunks
+    run zero iterations of the while_loop."""
     B = lx.shape[0]
+    if active is None:
+        active = jnp.ones((B,), bool)
     side = patch_size / 2.0 + 1.0
     pp = patch_size * patch_size
     n_samples = 2 * pp
@@ -242,7 +248,7 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
     H, W = left_img.shape
 
     def run_chunk(args):
-        lx_c, ly_c, lt_c, rx_c, ry_c, dir_c = args
+        lx_c, ly_c, lt_c, rx_c, ry_c, dir_c, act_c = args
         t = jnp.stack([jnp.cos(lt_c), jnp.sin(lt_c)], -1)
         n = jnp.stack([-t[..., 1], t[..., 0]], -1)
 
@@ -259,7 +265,7 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
         ox, oy = TS.tile_origins(rx_c, ry_c, tile, H, W)
         tiles = TS.gather_tiles(right_maps, ox, oy, tile)         # (b,3,T,T)
 
-        def body(carry, _):
+        def body(carry):
             alpha, done, score, conf, valid, it = carry
             shift = alpha[:, None] * dir_c
             rc = _rotated_two_side_coords(rx_c + shift[:, 0],
@@ -292,16 +298,17 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
             valid = jnp.where(finish, ~is_outlier, valid)
             alpha = jnp.where(done | degenerate, alpha, new_alpha)
             done = done | converged | degenerate
-            return (alpha, done, score, conf, valid, it + 1), None
+            return (alpha, done, score, conf, valid, it + 1)
 
         b = lx_c.shape[0]
-        init = (jnp.zeros(b), jnp.zeros(b, bool), jnp.full(b, 1e6),
+        init = (jnp.zeros(b), ~act_c, jnp.full(b, 1e6),
                 jnp.zeros(b), jnp.zeros(b, bool), jnp.int32(0))
-        (alpha, _, score, conf, valid, _), _ = jax.lax.scan(
-            body, init, None, length=max_iter)
-        return RefineResult(alpha, score, conf, valid)
+        out = jax.lax.while_loop(
+            lambda c: (c[5] < max_iter) & jnp.any(~c[1]), body, init)
+        return RefineResult(out[0], out[2], out[3], out[4])
 
-    return TS.map_chunked(run_chunk, (lx, ly, ltheta, rx, ry, epi_dir),
+    return TS.map_chunked(run_chunk,
+                          (lx, ly, ltheta, rx, ry, epi_dir, active),
                           B, chunk)
 
 
@@ -309,9 +316,13 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
                       kx, ky, ktheta, cx, cy, ctheta,
                       patch_size: int = 7, max_iter: int = 20,
                       tol: float = 1e-3, huber_delta: float = 3.0,
-                      tile: int = 32, chunk: int = 2048) -> RefineResult:
-    """Batched 2-DoF photometric GN (same math as refine_2dof)."""
+                      tile: int = 32, chunk: int = 2048,
+                      active=None) -> RefineResult:
+    """Batched 2-DoF photometric GN (same math as refine_2dof); see
+    refine_along_epipolar_batch for the `active` early-exit semantics."""
     B = kx.shape[0]
+    if active is None:
+        active = jnp.ones((B,), bool)
     side = patch_size / 2.0 + 1.0
     pp = patch_size * patch_size
     n_samples = 2 * pp
@@ -320,7 +331,7 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
     H, W = kf_img.shape
 
     def run_chunk(args):
-        kx_c, ky_c, kt_c, cx_c, cy_c, ct_c = args
+        kx_c, ky_c, kt_c, cx_c, cy_c, ct_c, act_c = args
         t_kf = jnp.stack([jnp.cos(kt_c), jnp.sin(kt_c)], -1)
         n_kf = jnp.stack([-t_kf[..., 1], t_kf[..., 0]], -1)
         lcoords = _rotated_two_side_coords(kx_c, ky_c, kt_c, n_kf, side,
@@ -339,7 +350,7 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
         kf_loc = jnp.stack([kx_c, ky_c], -1)
         reg = 1e-6 * n_samples
 
-        def body(carry, _):
+        def body(carry):
             d, done, score, conf, valid, it = carry
             loc = kf_loc - d
             rc = _rotated_two_side_coords(loc[:, 0], loc[:, 1], ct_c, n_cf,
@@ -373,14 +384,15 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
             valid = jnp.where(finish, ~is_outlier, valid)
             d = jnp.where(done[:, None], d, new_d)
             done = done | converged
-            return (d, done, score, conf, valid, it + 1), None
+            return (d, done, score, conf, valid, it + 1)
 
         b = kx_c.shape[0]
-        init = (d0, jnp.zeros(b, bool), jnp.full(b, 1e6),
+        init = (d0, ~act_c, jnp.full(b, 1e6),
                 jnp.zeros(b), jnp.zeros(b, bool), jnp.int32(0))
-        (d, _, score, conf, valid, _), _ = jax.lax.scan(
-            body, init, None, length=max_iter)
-        return RefineResult(d, score, conf, valid)
+        out = jax.lax.while_loop(
+            lambda c: (c[5] < max_iter) & jnp.any(~c[1]), body, init)
+        return RefineResult(out[0], out[2], out[3], out[4])
 
-    return TS.map_chunked(run_chunk, (kx, ky, ktheta, cx, cy, ctheta),
+    return TS.map_chunked(run_chunk,
+                          (kx, ky, ktheta, cx, cy, ctheta, active),
                           B, chunk)
