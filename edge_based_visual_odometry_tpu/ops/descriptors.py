@@ -115,7 +115,8 @@ def edge_descriptors_tiled(gx_img, gy_img, x, y, theta, shift_mag: float = 8.0,
                            n_samples: int = 16, n_spatial: int = 4,
                            n_orient: int = 8, spacing: float = 1.0,
                            clip: float = 0.2, scale: float = 512.0,
-                           tile: int = 32, chunk: int = 8192):
+                           tile: int = 40, stride: int = 8,
+                           chunk: int = 8192):
     """Batched descriptor computation via tile-resident sampling and a
     factorized histogram einsum (no per-sample scatter-adds - those are as
     pathological on TPU as element gathers). Numerically identical binning
@@ -149,7 +150,7 @@ def edge_descriptors_tiled(gx_img, gy_img, x, y, theta, shift_mag: float = 8.0,
     # matrix and binning becomes a clean batched GEMM over samples.
     SP = jnp.einsum("su,sv->suv", Wu, Wv).reshape(S, n_spatial * n_spatial)
     or_iota = jnp.arange(n_orient, dtype=jnp.float32)
-    maps = jnp.stack([gx_img, gy_img])
+    atlas = TS.build_atlas(jnp.stack([gx_img, gy_img]), tile, stride)
 
     # keypoints: (2N,) plus/minus shifted
     from edge_based_visual_odometry_tpu.ops import patches as P
@@ -165,7 +166,7 @@ def edge_descriptors_tiled(gx_img, gy_img, x, y, theta, shift_mag: float = 8.0,
         st = jnp.sin(kt_c)[:, None]
         sx = kx_c[:, None] + ct * ii - st * jj
         sy = ky_c[:, None] + st * ii + ct * jj
-        vals = TS.sample_maps_tiled(maps, kx_c, ky_c, sx, sy, tile)
+        vals = TS.sample_atlas(atlas, kx_c, ky_c, sx, sy)
         gx = vals[:, 0]
         gy = vals[:, 1]
         mag = jnp.sqrt(gx * gx + gy * gy) * gauss

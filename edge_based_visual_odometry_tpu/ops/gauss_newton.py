@@ -228,7 +228,7 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
                                 lx, ly, ltheta, rx, ry, epi_dir,
                                 patch_size: int = 7, max_iter: int = 20,
                                 tol: float = 1e-3, huber_delta: float = 1.0,
-                                tile: int = 32, chunk: int = 2048,
+                                tile: int = 48, chunk: int = 2048,
                                 active=None) -> RefineResult:
     """Batched 1-DoF epipolar GN (same math as refine_along_epipolar).
     All edge args (B,); epi_dir (B, 2). GN travel is bounded by the tile
@@ -243,8 +243,10 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
     side = patch_size / 2.0 + 1.0
     pp = patch_size * patch_size
     n_samples = 2 * pp
-    right_maps = jnp.stack([right_img, right_gx, right_gy])
-    left_maps = left_img[None]
+    stride = tile // 3 if tile % 3 == 0 else tile // 4
+    right_atlas = TS.build_atlas(
+        jnp.stack([right_img, right_gx, right_gy]), tile, stride)
+    left_atlas = TS.build_atlas(left_img[None], 32, 8)
     H, W = left_img.shape
 
     def run_chunk(args):
@@ -254,16 +256,14 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
 
         lcoords = _rotated_two_side_coords(lx_c, ly_c, lt_c, n, side,
                                            patch_size)
-        lvals = TS.sample_maps_tiled(left_maps, lx_c, ly_c,
-                                     lcoords[..., 0], lcoords[..., 1],
-                                     tile)[:, 0]                  # (b, 2pp)
+        lvals = TS.sample_atlas(left_atlas, lx_c, ly_c,
+                                lcoords[..., 0], lcoords[..., 1])[:, 0]
         lp = lvals[:, :pp]
         lm = lvals[:, pp:]
         lp = lp - jnp.mean(lp, -1, keepdims=True)
         lm = lm - jnp.mean(lm, -1, keepdims=True)
 
-        ox, oy = TS.tile_origins(rx_c, ry_c, tile, H, W)
-        tiles = TS.gather_tiles(right_maps, ox, oy, tile)         # (b,3,T,T)
+        tiles, ox, oy = TS.fetch_atlas_tiles(right_atlas, rx_c, ry_c)
 
         def body(carry):
             alpha, done, score, conf, valid, it = carry
@@ -316,7 +316,7 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
                       kx, ky, ktheta, cx, cy, ctheta,
                       patch_size: int = 7, max_iter: int = 20,
                       tol: float = 1e-3, huber_delta: float = 3.0,
-                      tile: int = 32, chunk: int = 2048,
+                      tile: int = 48, chunk: int = 2048,
                       active=None) -> RefineResult:
     """Batched 2-DoF photometric GN (same math as refine_2dof); see
     refine_along_epipolar_batch for the `active` early-exit semantics."""
@@ -326,8 +326,10 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
     side = patch_size / 2.0 + 1.0
     pp = patch_size * patch_size
     n_samples = 2 * pp
-    cf_maps = jnp.stack([cf_img, cf_gx, cf_gy])
-    kf_maps = kf_img[None]
+    stride = tile // 3 if tile % 3 == 0 else tile // 4
+    cf_atlas = TS.build_atlas(jnp.stack([cf_img, cf_gx, cf_gy]),
+                              tile, stride)
+    kf_atlas = TS.build_atlas(kf_img[None], 32, 8)
     H, W = kf_img.shape
 
     def run_chunk(args):
@@ -336,16 +338,14 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
         n_kf = jnp.stack([-t_kf[..., 1], t_kf[..., 0]], -1)
         lcoords = _rotated_two_side_coords(kx_c, ky_c, kt_c, n_kf, side,
                                            patch_size)
-        lvals = TS.sample_maps_tiled(kf_maps, kx_c, ky_c,
-                                     lcoords[..., 0], lcoords[..., 1],
-                                     tile)[:, 0]
+        lvals = TS.sample_atlas(kf_atlas, kx_c, ky_c,
+                                lcoords[..., 0], lcoords[..., 1])[:, 0]
         lp = lvals[:, :pp] - jnp.mean(lvals[:, :pp], -1, keepdims=True)
         lm = lvals[:, pp:] - jnp.mean(lvals[:, pp:], -1, keepdims=True)
 
         t_cf = jnp.stack([jnp.cos(ct_c), jnp.sin(ct_c)], -1)
         n_cf = jnp.stack([-t_cf[..., 1], t_cf[..., 0]], -1)
-        ox, oy = TS.tile_origins(cx_c, cy_c, tile, H, W)
-        tiles = TS.gather_tiles(cf_maps, ox, oy, tile)
+        tiles, ox, oy = TS.fetch_atlas_tiles(cf_atlas, cx_c, cy_c)
         d0 = jnp.stack([kx_c - cx_c, ky_c - cy_c], -1)
         kf_loc = jnp.stack([kx_c, ky_c], -1)
         reg = 1e-6 * n_samples

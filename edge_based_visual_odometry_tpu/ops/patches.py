@@ -123,7 +123,7 @@ def edge_patches(img, x, y, theta, patch_size: int, shift_mag: float):
 
 
 def edge_patches_tiled(img, x, y, theta, patch_size: int, shift_mag: float,
-                       tile: int = 24, chunk: int = 8192):
+                       tile: int = 32, stride: int = 8, chunk: int = 8192):
     """Batched two-side edge patches via tile-resident sampling
     (ops/tiled_sampling.py) - same outputs as `edge_patches` but with one
     slice-gathered tile per edge instead of per-sample element gathers.
@@ -136,7 +136,7 @@ def edge_patches_tiled(img, x, y, theta, patch_size: int, shift_mag: float,
     B = x.shape[0]
     pp = patch_size * patch_size
     H, W = img.shape
-    maps = img[None]
+    atlas = TS.build_atlas(img[None], tile, stride)
 
     def run_chunk(args):
         x_c, y_c, t_c = args
@@ -144,9 +144,8 @@ def edge_patches_tiled(img, x, y, theta, patch_size: int, shift_mag: float,
         cp = rotated_patch_coords(plus[..., 0], plus[..., 1], t_c, patch_size)
         cm = rotated_patch_coords(minus[..., 0], minus[..., 1], t_c, patch_size)
         coords = jnp.concatenate([cp, cm], axis=-2)      # (b, 2pp, 2)
-        vals = TS.sample_maps_tiled(maps, x_c, y_c,
-                                    coords[..., 0], coords[..., 1],
-                                    tile)[:, 0]
+        vals = TS.sample_atlas(atlas, x_c, y_c,
+                               coords[..., 0], coords[..., 1])[:, 0]
         # NaN-variant OOB validity (utility.h:95-99), computed from coords
         cx_ = coords[..., 0]
         cy_ = coords[..., 1]

@@ -74,6 +74,71 @@ def sample_maps_tiled(imgs: jnp.ndarray, cx, cy, xs, ys, tile: int):
     return bilinear_sample_tiles(tiles, ox, oy, xs, ys)
 
 
+class TileAtlas:
+    """Fixed-grid overlapping tile atlas (see build_atlas)."""
+
+    def __init__(self, flat, n_by, n_bx, C, tile, stride):
+        self.flat = flat          # (n_by * n_bx, C * tile * tile)
+        self.n_by = n_by
+        self.n_bx = n_bx
+        self.C = C
+        self.tile = tile
+        self.stride = stride
+
+
+def build_atlas(maps: jnp.ndarray, tile: int, stride: int) -> TileAtlas:
+    """Precompute overlapping TxT tiles at a fixed stride grid.
+
+    Per-candidate vmapped dynamic_slice costs ~2 us of DMA latency per
+    slice (~4.6 ms per 2048 tiles, measured); fetching from a precomputed
+    atlas is a contiguous row gather (~1.3 ms per 2048 tiles). The atlas
+    guarantees every window of half-width w <= tile/2 - stride/2 - 1
+    around any point is covered by its nearest tile.
+
+    maps: (C, H, W). tile must be a multiple of stride.
+    """
+    assert tile % stride == 0
+    C, H, W = maps.shape
+    k = tile // stride
+    n_by = -(-H // stride)
+    n_bx = -(-W // stride)
+    pad_h = (n_by + k - 1) * stride - H
+    pad_w = (n_bx + k - 1) * stride - W
+    # edge-replicate padding keeps beyond-border samples equal to the
+    # reference's clamped bilinear sampling (utility.h:159-172)
+    padded = jnp.pad(maps, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
+    blocks = padded.reshape(C, n_by + k - 1, stride, n_bx + k - 1, stride)
+    blocks = jnp.transpose(blocks, (1, 3, 0, 2, 4))   # (BY, BX, C, s, s)
+    rows = []
+    for a in range(k):
+        row = jnp.concatenate(
+            [blocks[a:a + n_by, b:b + n_bx] for b in range(k)], axis=-1)
+        rows.append(row)
+    atlas = jnp.concatenate(rows, axis=-2)            # (n_by, n_bx, C, T, T)
+    flat = atlas.reshape(n_by * n_bx, C * tile * tile)
+    return TileAtlas(flat, n_by, n_bx, C, tile, stride)
+
+
+def fetch_atlas_tiles(atlas: TileAtlas, cx, cy):
+    """Per-candidate tiles from the atlas: (B, C, T, T) + origins (ox, oy).
+    Picks the tile whose origin is nearest to (c - tile/2)."""
+    T = atlas.tile
+    s = atlas.stride
+    ty = jnp.clip(jnp.round((cy - T / 2.0) / s).astype(jnp.int32),
+                  0, atlas.n_by - 1)
+    tx = jnp.clip(jnp.round((cx - T / 2.0) / s).astype(jnp.int32),
+                  0, atlas.n_bx - 1)
+    tid = ty * atlas.n_bx + tx
+    tiles = atlas.flat[tid].reshape(-1, atlas.C, T, T)
+    return tiles, tx * s, ty * s
+
+
+def sample_atlas(atlas: TileAtlas, cx, cy, xs, ys):
+    """Atlas-backed equivalent of sample_maps_tiled: (B, C, S)."""
+    tiles, ox, oy = fetch_atlas_tiles(atlas, cx, cy)
+    return bilinear_sample_tiles(tiles, ox, oy, xs, ys)
+
+
 def map_chunked(fn, args, batch: int, chunk: int):
     """Apply `fn` (pytree of (chunk, ...) arrays -> pytree of (chunk, ...)
     arrays) over a (batch, ...) pytree in sequential chunks via lax.map -
