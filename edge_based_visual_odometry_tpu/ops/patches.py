@@ -136,6 +136,12 @@ def edge_patches_tiled(img, x, y, theta, patch_size: int, shift_mag: float,
     B = x.shape[0]
     pp = patch_size * patch_size
     H, W = img.shape
+    # static coverage guard: every sample of the two side patches must fit
+    # the nearest atlas tile
+    need = shift_mag + (patch_size // 2) * 1.4143 + 1.0
+    assert tile / 2 - stride / 2 - 1 >= need, \
+        f"atlas tile {tile}/stride {stride} covers +-{tile/2-stride/2-1}, " \
+        f"patches need +-{need:.1f}"
     atlas = TS.build_atlas(img[None], tile, stride)
 
     def run_chunk(args):

@@ -48,7 +48,7 @@ def test_edge_patches_tiled_matches_direct(rng):
     th = rng.uniform(-np.pi, np.pi, B).astype(np.float32)
     tp, tm, tokp, tokm = P.edge_patches_tiled(
         jnp.asarray(img), jnp.asarray(x), jnp.asarray(y), jnp.asarray(th),
-        7, 5.0, tile=24, chunk=16)
+        7, 5.0, tile=32, stride=8, chunk=16)
     dp, dm, dokp, dokm = P.edge_patches(
         jnp.asarray(img), jnp.asarray(x), jnp.asarray(y), jnp.asarray(th),
         7, 5.0)
