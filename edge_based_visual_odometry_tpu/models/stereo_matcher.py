@@ -236,18 +236,21 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         gamma_l = jnp.full((N, 3), -1.0, jnp.float32)
         gamma_r = jnp.full((N, 3), -1.0, jnp.float32)
 
-    # ---- right-edge spatial index ----
+    # ---- right-edge spatial index (attrs packed so queries fetch rows,
+    # not per-attribute element gathers) ----
+    r_attrs = jnp.stack([right_edges.x, right_edges.y, right_edges.theta], -1)
     rgrid = GRID.build_sorted_grid(right_edges.x, right_edges.y,
-                                   right_edges.valid, W, H, band_h=8)
+                                   right_edges.valid, W, H, band_h=8,
+                                   attrs=r_attrs)
 
     # ---- veridical sets (get_Stereo_Edge_GT_Pairs, ref :202-268) ----
     if has_gt:
-        vidx, vmask = GRID.query_sorted_grid(
+        vidx, v_attrs, vmask = GRID.query_sorted_grid_attrs(
             rgrid, gt_x, gt_y, rx=cfg.gt_pair_dist_tol + 0.5,
             ry=cfg.gt_pair_dist_tol + 0.5, slots_per_band=16, n_band_window=2)
-        v_x = right_edges.x[vidx]
-        v_y = right_edges.y[vidx]
-        v_t = right_edges.theta[vidx]
+        v_x = v_attrs[..., 0]
+        v_y = v_attrs[..., 1]
+        v_t = v_attrs[..., 2]
         v_epi = geom.point_line_distance(epi[:, None, :],
                                          jnp.stack([v_x, v_y], -1))
         v_d = jnp.sqrt((v_x - gt_x[:, None]) ** 2 + (v_y - gt_y[:, None]) ** 2)
@@ -263,12 +266,12 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     # truncation only happens after the orientation stage, where measured
     # ambiguity is small (reference has no capacity at all - its candidate
     # vectors shrink via erase; SURVEY.md §7 hard-part #2). ----
-    gidx, gmask = GRID.query_sorted_grid(
+    gidx, g_attrs, gmask = GRID.query_sorted_grid_attrs(
         rgrid, lx, ly, rx=cfg.max_disparity + 1.5, ry=4.0,
         slots_per_band=cfg.gather_slots // 2, n_band_window=2)
-    g_x = right_edges.x[gidx]
-    g_y = right_edges.y[gidx]
-    g_t = right_edges.theta[gidx]
+    g_x = g_attrs[..., 0]
+    g_y = g_attrs[..., 1]
+    g_t = g_attrs[..., 2]
 
     metrics = []
 
@@ -306,13 +309,14 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     gmask = gmask & geom.orientation_gate(g_dth, cfg.orientation_thresh_deg)
     record_raw(gmask)
 
-    cand_idx, cmask = GRID.compact_candidates(gidx, gmask, C, priority=g_epi)
+    cand_idx, c_attrs, cmask = GRID.compact_candidates_attrs(
+        gidx, g_attrs, gmask, C, priority=g_epi)
     state = StereoState(
         row_mask=row_mask, lx=lx, ly=ly, ltheta=lt, epi_line=epi,
         gt_x=gt_x, gt_y=gt_y, gamma_gt_l=gamma_l, gamma_gt_r=gamma_r,
         cand_idx=cand_idx,
-        cx=right_edges.x[cand_idx], cy=right_edges.y[cand_idx],
-        ctheta=right_edges.theta[cand_idx], cmask=cmask,
+        cx=c_attrs[..., 0], cy=c_attrs[..., 1],
+        ctheta=c_attrs[..., 2], cmask=cmask,
         ncc=jnp.zeros((N, C), jnp.float32),
         desc_dist=jnp.full((N, C), 2.0 * cfg.sift_threshold, jnp.float32),
     )

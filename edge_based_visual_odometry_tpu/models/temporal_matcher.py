@@ -141,22 +141,24 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
     # 8 px bands: CF mates concentrate along ridges, so wide bands
     # overflow their fixed gather slots in dense rows
     band_h = 8
+    cf_attrs = jnp.stack([cf.left_x, cf.left_y, cf.left_theta,
+                          cf.right_x, cf.right_y, cf.right_theta], -1)
     lgrid = GRID.build_sorted_grid(cf.left_x, cf.left_y, cf.valid, W, H,
-                                   band_h=band_h)
+                                   band_h=band_h, attrs=cf_attrs)
 
     # ---- veridical quads (ref :57-166): exact distance < 2 px both sides
     # + orientation gates vs the transported orientation ----
     r_v = cfg.dist_to_gt_thresh_quads + 1.0
     vwin = int(-(-2 * r_v // band_h)) + 1
-    vidx, vmask = GRID.query_sorted_grid(lgrid, pl[:, 0], pl[:, 1],
-                                         rx=r_v, ry=r_v,
-                                         slots_per_band=8, n_band_window=vwin)
-    v_dl = jnp.sqrt((cf.left_x[vidx] - pl[:, 0:1]) ** 2
-                    + (cf.left_y[vidx] - pl[:, 1:2]) ** 2)
-    v_dr = jnp.sqrt((cf.right_x[vidx] - pr[:, 0:1]) ** 2
-                    + (cf.right_y[vidx] - pr[:, 1:2]) ** 2)
-    v_ol = geom.orientation_diff_deg(th_l[:, None], cf.left_theta[vidx])
-    v_or = geom.orientation_diff_deg(th_r[:, None], cf.right_theta[vidx])
+    vidx, v_at, vmask = GRID.query_sorted_grid_attrs(
+        lgrid, pl[:, 0], pl[:, 1], rx=r_v, ry=r_v,
+        slots_per_band=8, n_band_window=vwin)
+    v_dl = jnp.sqrt((v_at[..., 0] - pl[:, 0:1]) ** 2
+                    + (v_at[..., 1] - pl[:, 1:2]) ** 2)
+    v_dr = jnp.sqrt((v_at[..., 3] - pr[:, 0:1]) ** 2
+                    + (v_at[..., 4] - pr[:, 1:2]) ** 2)
+    v_ol = geom.orientation_diff_deg(th_l[:, None], v_at[..., 2])
+    v_or = geom.orientation_diff_deg(th_r[:, None], v_at[..., 5])
     vmask = (vmask & cf.valid[vidx]
              & (v_dl < cfg.dist_to_gt_thresh_quads)
              & (v_dr < cfg.dist_to_gt_thresh_quads)
@@ -180,11 +182,11 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
     # no capacity at all). ----
     r_g = cfg.temporal_grid_radius
     gwin = int(-(-2 * r_g // band_h)) + 1
-    gidx, gmask = GRID.query_sorted_grid(
+    gidx, g_at, gmask = GRID.query_sorted_grid_attrs(
         lgrid, kf.left_x, kf.left_y, rx=r_g, ry=r_g,
         slots_per_band=-(-cfg.quad_gather_slots // gwin), n_band_window=gwin)
-    g_rdx = jnp.abs(cf.right_x[gidx] - kf.right_x[:, None])
-    g_rdy = jnp.abs(cf.right_y[gidx] - kf.right_y[:, None])
+    g_rdx = jnp.abs(g_at[..., 3] - kf.right_x[:, None])
+    g_rdy = jnp.abs(g_at[..., 4] - kf.right_y[:, None])
     gmask = (gmask & cf.valid[gidx] & row_mask[:, None]
              & (g_rdx <= r_g) & (g_rdy <= r_g))
 
@@ -197,9 +199,9 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
         tmp = TemporalQuads(
             row_mask=row_mask, proj_left=pl, proj_right=pr,
             proj_theta_l=th_l, proj_theta_r=th_r, has_veridical=has_verid,
-            cf_idx=gidx, lcx=cf.left_x[gidx], lcy=cf.left_y[gidx],
-            lct=cf.left_theta[gidx], rcx=cf.right_x[gidx],
-            rcy=cf.right_y[gidx], rct=cf.right_theta[gidx], cmask=mask,
+            cf_idx=gidx, lcx=g_at[..., 0], lcy=g_at[..., 1],
+            lct=g_at[..., 2], rcx=g_at[..., 3],
+            rcy=g_at[..., 4], rct=g_at[..., 5], cmask=mask,
             ncc_l=None, desc_l=None)
         metrics.append(_quad_metrics(tmp, kf.is_tp,
                                      cfg.dist_to_gt_thresh_quads))
@@ -207,23 +209,21 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
     record_raw(gmask)
 
     # ---- orientation both sides on the raw window (ref :385-414) ----
-    g_ol = geom.orientation_diff_deg(kf.left_theta[:, None],
-                                     cf.left_theta[gidx])
-    g_or = geom.orientation_diff_deg(kf.right_theta[:, None],
-                                     cf.right_theta[gidx])
+    g_ol = geom.orientation_diff_deg(kf.left_theta[:, None], g_at[..., 2])
+    g_or = geom.orientation_diff_deg(kf.right_theta[:, None], g_at[..., 5])
     gmask = (gmask
              & geom.orientation_gate(g_ol, cfg.temporal_orient_thresh_deg)
              & geom.orientation_gate(g_or, cfg.temporal_orient_thresh_deg))
     record_raw(gmask)
 
-    cf_idx, cmask = GRID.compact_candidates(gidx, gmask, Cq,
-                                            priority=g_ol + g_or)
+    cf_idx, c_at, cmask = GRID.compact_candidates_attrs(
+        gidx, g_at, gmask, Cq, priority=g_ol + g_or)
     q = TemporalQuads(
         row_mask=row_mask, proj_left=pl, proj_right=pr,
         proj_theta_l=th_l, proj_theta_r=th_r, has_veridical=has_verid,
         cf_idx=cf_idx,
-        lcx=cf.left_x[cf_idx], lcy=cf.left_y[cf_idx], lct=cf.left_theta[cf_idx],
-        rcx=cf.right_x[cf_idx], rcy=cf.right_y[cf_idx], rct=cf.right_theta[cf_idx],
+        lcx=c_at[..., 0], lcy=c_at[..., 1], lct=c_at[..., 2],
+        rcx=c_at[..., 3], rcy=c_at[..., 4], rct=c_at[..., 5],
         cmask=cmask,
         ncc_l=jnp.full((M, Cq), -1.0, jnp.float32),
         desc_l=jnp.full((M, Cq), 900.0, jnp.float32),

@@ -29,18 +29,24 @@ class SortedGrid(NamedTuple):
     """Final sorted structure with int32 composite keys."""
     sorted_idx: jnp.ndarray    # (N,)
     sorted_keys: jnp.ndarray   # (N,) int32 composite (band, x/16px)
+    sorted_attrs: jnp.ndarray  # (N, A) edge attributes in sorted order -
+                               # queries gather attribute ROWS directly
+                               # instead of per-attribute element gathers
     band_h: float
     n_bands: int
     width: int
 
 
 def build_sorted_grid(x, y, valid, width: int, height: int,
-                      band_h: int) -> SortedGrid:
+                      band_h: int, attrs=None) -> SortedGrid:
     """Build the sorted composite-key index (see module docstring).
 
     Composite int32 key = band * (W*16) + round(x*16): x quantized to
     1/16 px so the key stays monotone in (band, x) and fits int32 for any
     realistic image size.
+
+    attrs: optional (N, A) per-edge payload; stored in sorted order so a
+    query's attribute fetch is one row gather.
     """
     n_bands = -(-height // band_h)
     W16 = jnp.int32(width * 16)
@@ -49,7 +55,10 @@ def build_sorted_grid(x, y, valid, width: int, height: int,
     key = band * W16 + xq
     key = jnp.where(valid, key, jnp.int32((n_bands + 1) * width * 16))
     order = jnp.argsort(key, stable=True).astype(jnp.int32)
-    return SortedGrid(order, key[order], float(band_h), int(n_bands), int(width))
+    if attrs is None:
+        attrs = jnp.stack([x, y], -1)
+    return SortedGrid(order, key[order], attrs[order],
+                      float(band_h), int(n_bands), int(width))
 
 
 def query_sorted_grid(grid: SortedGrid, qx, qy, rx: float, ry: float,
@@ -62,7 +71,7 @@ def query_sorted_grid(grid: SortedGrid, qx, qy, rx: float, ry: float,
     xq_lo = jnp.clip(jnp.floor((qx - rx) * 16.0), 0, grid.width * 16 - 1).astype(jnp.int32)
     xq_hi = jnp.clip(jnp.ceil((qx + rx) * 16.0), 0, grid.width * 16 - 1).astype(jnp.int32)
 
-    outs_idx = []
+    outs_pos = []
     outs_mask = []
     offs = jnp.arange(slots_per_band, dtype=jnp.int32)
     N = grid.sorted_idx.shape[0]
@@ -76,28 +85,76 @@ def query_sorted_grid(grid: SortedGrid, qx, qy, rx: float, ry: float,
         pos = lo[:, None] + offs[None, :]
         m = (pos < hi[:, None]) & b_ok[:, None] & (pos < N)
         pos = jnp.minimum(pos, N - 1)
-        outs_idx.append(grid.sorted_idx[pos])
+        outs_pos.append(pos)
         outs_mask.append(m)
-    idx = jnp.concatenate(outs_idx, axis=-1)
+    pos = jnp.concatenate(outs_pos, axis=-1)
     mask = jnp.concatenate(outs_mask, axis=-1)
+    idx = grid.sorted_idx[pos]
     return jnp.where(mask, idx, 0), mask
+
+
+def query_sorted_grid_attrs(grid: SortedGrid, qx, qy, rx: float, ry: float,
+                            slots_per_band: int, n_band_window: int):
+    """Box query returning (idx, attrs, mask): attrs (Q, S, A) fetched as
+    one row gather from the pre-sorted payload."""
+    W16 = jnp.int32(grid.width * 16)
+    b0 = jnp.floor((qy - ry) / grid.band_h).astype(jnp.int32)
+    xq_lo = jnp.clip(jnp.floor((qx - rx) * 16.0), 0,
+                     grid.width * 16 - 1).astype(jnp.int32)
+    xq_hi = jnp.clip(jnp.ceil((qx + rx) * 16.0), 0,
+                     grid.width * 16 - 1).astype(jnp.int32)
+    outs_pos = []
+    outs_mask = []
+    offs = jnp.arange(slots_per_band, dtype=jnp.int32)
+    N = grid.sorted_idx.shape[0]
+    for k in range(n_band_window):
+        b = b0 + k
+        b_ok = (b >= 0) & (b < grid.n_bands)
+        lo = jnp.searchsorted(grid.sorted_keys, b * W16 + xq_lo, side="left")
+        hi = jnp.searchsorted(grid.sorted_keys, b * W16 + xq_hi, side="right")
+        pos = lo[:, None] + offs[None, :]
+        m = (pos < hi[:, None]) & b_ok[:, None] & (pos < N)
+        outs_pos.append(jnp.minimum(pos, N - 1))
+        outs_mask.append(m)
+    pos = jnp.concatenate(outs_pos, axis=-1)
+    mask = jnp.concatenate(outs_mask, axis=-1)
+    idx = jnp.where(mask, grid.sorted_idx[pos], 0)
+    attrs = grid.sorted_attrs[pos]
+    return idx, attrs, mask
 
 
 def compact_candidates(idx, mask, capacity: int, priority=None):
     """Compact (Q, S) masked slots to (Q, capacity).
 
     Valid entries move to the front preserving order (or by ascending
-    `priority` when given). Overflow beyond capacity is dropped.
+    `priority` when given). Overflow beyond capacity is dropped. Uses
+    top_k (cheaper than a full row argsort on TPU).
     """
     S = mask.shape[-1]
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
     if priority is None:
-        # stable: order by (~mask, slot position)
-        rank = jnp.where(mask, 0, 1) * S + jax.lax.broadcasted_iota(
-            jnp.int32, mask.shape, mask.ndim - 1)
+        # maximize: valid first, then ascending slot position
+        score = jnp.where(mask, -slot_iota.astype(jnp.float32), -jnp.float32(2 * S))
     else:
-        big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
-        rank = jnp.where(mask, priority, big)
-    order = jnp.argsort(rank, axis=-1, stable=True)[..., :capacity]
+        big = jnp.float32(3.0e38)
+        score = jnp.where(mask, -priority, -big)
+    _, order = jax.lax.top_k(score, capacity)
     g_idx = jnp.take_along_axis(idx, order, axis=-1)
     g_mask = jnp.take_along_axis(mask, order, axis=-1)
     return g_idx, g_mask
+
+
+def compact_candidates_attrs(idx, attrs, mask, capacity: int, priority=None):
+    """compact_candidates + carry the (Q, S, A) attribute rows along."""
+    S = mask.shape[-1]
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+    if priority is None:
+        score = jnp.where(mask, -slot_iota.astype(jnp.float32), -jnp.float32(2 * S))
+    else:
+        big = jnp.float32(3.0e38)
+        score = jnp.where(mask, -priority, -big)
+    _, order = jax.lax.top_k(score, capacity)
+    g_idx = jnp.take_along_axis(idx, order, axis=-1)
+    g_mask = jnp.take_along_axis(mask, order, axis=-1)
+    g_attrs = jnp.take_along_axis(attrs, order[..., None], axis=-2)
+    return g_idx, g_attrs, g_mask
