@@ -38,6 +38,18 @@ class BAProblem(NamedTuple):
     obs_uv: jnp.ndarray    # (O, 2) pixel measurements
     obs_w: jnp.ndarray     # (O,) weights (0 = inactive)
     K_cam: jnp.ndarray     # (3, 3) intrinsics
+    # Optional landmark position prior (e.g. the stereo triangulation,
+    # which constrains the depth that short low-parallax temporal tracks
+    # leave nearly unobservable - without it the Schur system is close to
+    # singular and f32 GN diverges). prior_w = 0 disables.
+    X_prior: jnp.ndarray = None   # (L, 3)
+    prior_w: jnp.ndarray = None   # () or (L,)
+    # Optional per-observation edge normals (O, 2). Edge correspondences
+    # only constrain the reprojection PERPENDICULAR to the edge (aperture
+    # problem): tangential sliding of temporal edge matches is unobservable
+    # and systematically biases a full-2D-point BA. With obs_n set, the
+    # residual is the scalar normal component n . (proj - uv).
+    obs_n: jnp.ndarray = None
 
 
 class BAResult(NamedTuple):
@@ -93,6 +105,11 @@ def _residuals_and_jacobians(p: BAProblem):
     J_t = Jp
     J_pose = jnp.concatenate([J_omega, J_t], axis=-1)   # (O, 2, 6)
     J_lm = jnp.einsum("oij,ojk->oik", Jp, Rk)           # (O, 2, 3)
+    if p.obs_n is not None:
+        # project onto the edge normal -> scalar residual per observation
+        r = jnp.sum(r * p.obs_n, -1, keepdims=True)          # (O, 1)
+        J_pose = jnp.einsum("oi,oia->oa", p.obs_n, J_pose)[:, None, :]
+        J_lm = jnp.einsum("oi,oia->oa", p.obs_n, J_lm)[:, None, :]
     return r, J_pose, J_lm
 
 
@@ -116,6 +133,10 @@ def ba_iteration(p: BAProblem, damping: float, huber: float):
         w[:, None, None] * jnp.einsum("oia,oib->oab", J_lm, J_lm))
     b_l = jnp.zeros((L, 3)).at[p.obs_lm].add(
         -w[:, None] * jnp.einsum("oia,oi->oa", J_lm, r))
+    if p.X_prior is not None and p.prior_w is not None:
+        pw = jnp.broadcast_to(jnp.asarray(p.prior_w), (L,))
+        H_ll = H_ll + pw[:, None, None] * jnp.eye(3)[None]
+        b_l = b_l + pw[:, None] * (p.X_prior - p.X)
 
     # W: (L, K, 6, 3) camera-landmark coupling
     Wc = jnp.zeros((L, Kn, 6, 3)).at[p.obs_lm, p.obs_kf].add(

@@ -143,6 +143,10 @@ class VOPipeline:
     keyframe_policy: str = "every_frame"
     rekeyframe_min_inlier_ratio: float = 0.4
     rekeyframe_min_quads: int = 50
+    # sliding-window BA (new capability; models/window_ba.py). 0 = off;
+    # >= 2 sets the window length in keyframes. Requires the 'every_frame'
+    # keyframe policy (track chaining assumes KF index == frame index).
+    ba_window: int = 0
 
     def __post_init__(self):
         has_dist = (any(abs(d) > 0 for d in self.rig.left.distortion[:4])
@@ -166,6 +170,14 @@ class VOPipeline:
             rig_for_device, self.cfg, self.has_gt_disparity)
         self._temporal_step = build_temporal_step(
             self.rig, self.cfg, self.use_gt_pose)
+        self.wba = None
+        if self.ba_window >= 2:
+            assert self.keyframe_policy == "every_frame", \
+                "windowed BA requires the every_frame keyframe policy"
+            from edge_based_visual_odometry_tpu.models.window_ba import (
+                WindowBA, WindowBAConfig)
+            self.wba = WindowBA(self.rig.left.K,
+                                WindowBAConfig(window=self.ba_window))
         self.keyframe: Optional[FrameResult] = None
         self.kf_pose_gt: Optional[geom.Pose] = None      # world->cam GT
         self.kf_pose_est = geom.Pose.identity()          # world->cam estimate
@@ -206,6 +218,8 @@ class VOPipeline:
         if self.keyframe is None:
             self._set_keyframe(fr, gt_pose)
             self.trajectory.append(self.kf_pose_est)
+            if self.wba is not None:
+                self.wba.add_keyframe(fr.mates, self.kf_pose_est)
         else:
             if self.use_gt_pose:
                 rel = geom.relative_pose(self.kf_pose_gt, gt_pose)
@@ -226,6 +240,17 @@ class VOPipeline:
                 self.kf_pose_est = cam_pose
                 self._set_keyframe(fr, gt_pose)
                 self.last_rel = geom.Pose.identity()
+                if self.wba is not None:
+                    from edge_based_visual_odometry_tpu.models.window_ba import (
+                        best_links_from_quads)
+                    self.wba.add_keyframe(fr.mates, cam_pose,
+                                          best_links_from_quads(tr))
+                    out = self.wba.run()
+                    if out is not None:
+                        poses, _ = out
+                        # refresh the trajectory tail + current estimate
+                        self.trajectory[-len(poses):] = poses
+                        self.kf_pose_est = poses[-1]
         self.frame_idx += 1
         return fr, tr
 

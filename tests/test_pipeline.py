@@ -46,3 +46,25 @@ def test_trajectory_metrics_identity():
     assert MET.ate_rmse(poses, poses) < 1e-9
     t, r = MET.rpe_stats(poses, poses)
     assert t < 1e-9 and r < 1e-6
+
+
+def test_pipeline_with_windowed_ba():
+    """Track chaining + sliding-window BA in the loop (new capability)."""
+    seq = S.make_sequence(n_frames=4, h=240, w=320)
+    pipe = PL.VOPipeline(rig=seq.rig, cfg=CFG, ba_window=4)
+    gt = []
+    for f in seq.frames:
+        gt.append(geom.Pose(jnp.asarray(f.R, jnp.float32),
+                            jnp.asarray(f.t, jnp.float32)))
+        pipe.run_frame(f.left, f.right)
+    assert pipe.wba is not None
+    assert len(pipe.wba.kf_poses) == 4
+    # tracks must actually chain across keyframes
+    counts = {}
+    for tr in pipe.wba.kf_tracks:
+        for tid in tr.values():
+            counts[tid] = counts.get(tid, 0) + 1
+    n_chained = sum(1 for c in counts.values() if c >= 2)
+    assert n_chained > 50, f"only {n_chained} chained tracks"
+    ate = MET.ate_rmse(pipe.trajectory, gt, align=False)
+    assert ate < 0.06, f"BA trajectory ATE {ate:.4f}"
