@@ -63,13 +63,40 @@ def main():
     rgx, rgy = grads(right)
     frame = FrameData(left, right, lgx, lgy, rgx, rgy)
 
-    descf = jax.jit(lambda gx, gy, e: DESC.edge_descriptors(
-        gx, gy, e.x, e.y, e.theta))
+    from edge_based_visual_odometry_tpu.ops import toed as TOED_MOD
+    gradf = jax.jit(lambda a: TOED_MOD.toed_gradient_field(a))
+    print(f"toed grad:       {bench(gradf, left):8.2f} ms", flush=True)
+    g4 = gradf(left)
+    nmsf = jax.jit(lambda a, b, c, d: TOED_MOD.toed_nms_subpixel(a, b, c, d))
+    print(f"toed nms:        {bench(nmsf, *g4):8.2f} ms", flush=True)
+    nn = nmsf(*g4)
+    extf = jax.jit(lambda sx, sy, sm, o, v: TOED_MOD.extract_edges(
+        sx, sy, sm, o, v, left.shape[0], left.shape[1], cfg.max_edges))
+    print(f"toed extract:    {bench(extf, nn[0], nn[1], nn[2], g4[3], nn[3]):8.2f} ms", flush=True)
+
+    descf = jax.jit(lambda gx, gy, e: DESC.edge_descriptors_tiled(
+        gx, gy, e.x, e.y, e.theta, chunk=cfg.sample_chunk))
     print(f"descriptors x1:  {bench(descf, lgx, lgy, led):8.2f} ms", flush=True)
 
-    patchf = jax.jit(lambda img, e: P.edge_patches(
-        img, e.x, e.y, e.theta, cfg.patch_size, cfg.orthogonal_shift_mag))
+    patchf = jax.jit(lambda img, e: P.edge_patches_tiled(
+        img, e.x, e.y, e.theta, cfg.patch_size, cfg.orthogonal_shift_mag,
+        chunk=cfg.sample_chunk))
     print(f"patches x1:      {bench(patchf, left, led):8.2f} ms", flush=True)
+
+    import jax.numpy as jnp2
+    from edge_based_visual_odometry_tpu.ops import gauss_newton as GNOPS
+    B = cfg.max_refine_pairs
+    import numpy as np2
+    rngp = np2.random.default_rng(0)
+    lxs = jnp.asarray(rngp.uniform(30, W - 30, B).astype(np2.float32))
+    lys = jnp.asarray(rngp.uniform(30, H - 30, B).astype(np2.float32))
+    lts = jnp.asarray(rngp.uniform(-3, 3, B).astype(np2.float32))
+    eds = jnp.asarray(np2.tile([[1.0, 0.0]], (B, 1)).astype(np2.float32))
+    act = jnp.asarray(np2.arange(B) < B // 2)
+    gnf = jax.jit(lambda a, b, c, d, e, f: GNOPS.refine_along_epipolar_batch(
+        left, right, rgx, rgy, a, b, c, d, e, f,
+        chunk=cfg.sample_chunk, active=act))
+    print(f"gn 1dof (50% of {B}): {bench(gnf, lxs, lys, lts, lxs - 8, lys, eds):8.2f} ms", flush=True)
 
     stereo = jax.jit(lambda a, b, fr: SM.match_stereo(a, b, fr, rig, cfg))
     print(f"stereo cascade:  {bench(stereo, led, red, frame):8.2f} ms", flush=True)

@@ -24,11 +24,21 @@ _SOBEL_Y = _SOBEL_X.T
 
 
 def _conv3(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """3x3 correlation with reflect-101 borders as unrolled shift-adds
+    (a 1-channel conv is degenerate for conv libraries; elementwise FMAs
+    fuse into ~2 memory passes)."""
+    H, W = img.shape
     p = jnp.pad(img, 1, mode="reflect")  # OpenCV BORDER_REFLECT_101
-    return jax.lax.conv_general_dilated(
-        p[None, None], k[None, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)[0, 0]
+    k_host = __import__("numpy").asarray(k)
+    acc = None
+    for a in range(3):
+        for b in range(3):
+            w = float(k_host[a, b])
+            if w == 0.0:
+                continue
+            s = jax.lax.dynamic_slice(p, (a, b), (H, W))
+            acc = w * s if acc is None else acc + w * s
+    return acc
 
 
 def sobel_gradients(img: jnp.ndarray):
