@@ -179,7 +179,7 @@ def _flatten_active(cmask, max_pairs: int):
     tgt = jnp.where(flat, pos, max_pairs)
     lin = jnp.arange(N * C, dtype=jnp.int32)
     slot_of = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(
-        lin, mode="drop")
+        lin, mode="drop", unique_indices=True)
     n_active = jnp.minimum(pos[-1] + 1, max_pairs)
     fmask = jnp.arange(max_pairs, dtype=jnp.int32) < n_active
     rows = slot_of // C
@@ -193,7 +193,7 @@ def _scatter_back(template, rows, slots, fmask, values):
     lin = rows * C + slots
     lin = jnp.where(fmask, lin, N * C)
     flatt = template.reshape(-1)
-    out = flatt.at[lin].set(values, mode="drop")
+    out = flatt.at[lin].set(values, mode="drop", unique_indices=True)
     return out.reshape(N, C)
 
 
@@ -340,15 +340,18 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         spacing=cfg.desc_sample_spacing, clip=cfg.desc_clip,
         scale=cfg.desc_scale, chunk=cfg.sample_chunk)
 
-    # ---- stage 4: descriptor gate (ref :691-787). The distance is fused
-    # into the per-slot scan so the (N, C, 2, D) gathered descriptor tensor
-    # (~1 GB at production sizes) never materializes. ----
-    def _desc_dist_col(_, idx_col):
-        cand = r_desc[idx_col]                         # (N, 2, D)
-        return None, DESC.min_cross_distance(l_desc, cand)
+    # ---- stage 4: descriptor gate (ref :691-787), chunked over rows so
+    # the (N, C, 2, D) gathered tensor (~1 GB at production sizes) never
+    # materializes while keeping launches few and gathers large ----
+    from edge_based_visual_odometry_tpu.ops import tiled_sampling as TS
 
-    _, ddist_cols = jax.lax.scan(_desc_dist_col, None, state.cand_idx.T)
-    ddist = ddist_cols.T                               # (N, C)
+    def _desc_chunk(args):
+        idx_c, ld_c = args
+        cand = r_desc[idx_c]                           # (b, C, 2, D)
+        return DESC.min_cross_distance(ld_c[:, None], cand)
+
+    ddist = TS.map_chunked(_desc_chunk, (state.cand_idx, l_desc),
+                           N, cfg.sample_chunk)
     state = state._replace(
         cmask=state.cmask & (ddist < cfg.sift_threshold),
         desc_dist=ddist)
@@ -366,17 +369,17 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     r_patches = jnp.stack([rp_p, rp_m], axis=1)
     r_patch_ok = jnp.stack([rok_p, rok_m], axis=1)
 
-    # ---- stage 5: NCC (ref :555-616), fused into the per-slot scan ----
-    def _ncc_col(_, idx_col):
-        cp = r_patches[idx_col]                        # (N, 2, 49)
-        cok = r_patch_ok[idx_col]
-        s = P.ncc4(l_patches[:, 0], l_patches[:, 1],
-                   l_patch_ok[:, 0], l_patch_ok[:, 1],
-                   cp[:, 0], cp[:, 1], cok[:, 0], cok[:, 1])
-        return None, s
+    # ---- stage 5: NCC (ref :555-616), row-chunked like stage 4 ----
+    def _ncc_chunk(args):
+        idx_c, lp_c, lok_c = args
+        cp = r_patches[idx_c]                          # (b, C, 2, 49)
+        cok = r_patch_ok[idx_c]
+        return P.ncc4(lp_c[:, None, 0], lp_c[:, None, 1],
+                      lok_c[:, None, 0], lok_c[:, None, 1],
+                      cp[:, :, 0], cp[:, :, 1], cok[:, :, 0], cok[:, :, 1])
 
-    _, sim_cols = jax.lax.scan(_ncc_col, None, state.cand_idx.T)
-    sim = sim_cols.T
+    sim = TS.map_chunked(_ncc_chunk, (state.cand_idx, l_patches, l_patch_ok),
+                         N, cfg.sample_chunk)
     state = state._replace(cmask=state.cmask & (sim > cfg.ncc_thresh),
                            ncc=sim)
     record(state)
@@ -472,7 +475,7 @@ def _finalize(state: StereoState, frame: FrameData, rig: RigArrays,
     tgt = jnp.where(alive, pos, M)
     count = jnp.minimum(pos[-1] + 1, M).astype(jnp.int32)
     row_of = jnp.zeros((M,), jnp.int32).at[tgt].set(
-        jnp.arange(N, dtype=jnp.int32), mode="drop")
+        jnp.arange(N, dtype=jnp.int32), mode="drop", unique_indices=True)
     valid = jnp.arange(M, dtype=jnp.int32) < count
 
     bs = best_slot[row_of]

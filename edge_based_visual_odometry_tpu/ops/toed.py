@@ -215,7 +215,7 @@ def extract_edges(subpix_x, subpix_y, subpix_mag, orient, valid,
 
     def scatter(v):
         return jnp.zeros((max_edges,), v.dtype).at[tgt].set(
-            v.reshape(-1), mode="drop")
+            v.reshape(-1), mode="drop", unique_indices=True)
 
     out_x = scatter(ex.astype(jnp.float32))
     out_y = scatter(ey.astype(jnp.float32))
