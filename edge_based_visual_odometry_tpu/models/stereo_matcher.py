@@ -348,7 +348,7 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     def _desc_chunk(args):
         idx_c, ld_c = args
         cand = r_desc[idx_c]                           # (b, C, 2, D)
-        return DESC.min_cross_distance(ld_c[:, None], cand)
+        return DESC.min_cross_distance_dot(ld_c, cand)
 
     ddist = TS.map_chunked(_desc_chunk, (state.cand_idx, l_desc),
                            N, cfg.sample_chunk)

@@ -251,8 +251,8 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
     record(q)
 
     # ---- descriptor both sides from stored descriptors (ref :471-515) ----
-    dl = DESC.min_cross_distance(kf.left_desc[:, None], cf.left_desc[q.cf_idx])
-    dr = DESC.min_cross_distance(kf.right_desc[:, None], cf.right_desc[q.cf_idx])
+    dl = DESC.min_cross_distance_dot(kf.left_desc, cf.left_desc[q.cf_idx])
+    dr = DESC.min_cross_distance_dot(kf.right_desc, cf.right_desc[q.cf_idx])
     q = q._replace(cmask=q.cmask & (dl < cfg.temporal_sift_thresh)
                    & (dr < cfg.temporal_sift_thresh),
                    desc_l=dl)

@@ -182,7 +182,9 @@ def edge_descriptors_tiled(gx_img, gy_img, x, y, theta, shift_mag: float = 8.0,
         desc = desc / jnp.maximum(norm, 1e-7)
         desc = jnp.minimum(desc, clip)
         norm2 = jnp.linalg.norm(desc, axis=-1, keepdims=True)
-        return desc / jnp.maximum(norm2, 1e-7) * scale
+        # store bf16: descriptor values are O(100) with ~1-unit tolerance
+        # against the 500/200 gates; halves gather traffic downstream
+        return (desc / jnp.maximum(norm2, 1e-7) * scale).astype(jnp.bfloat16)
 
     out = TS.map_chunked(run_chunk, (kx, ky, kt), 2 * N, chunk)
     return jnp.stack([out[:N], out[N:]], axis=1)
@@ -192,5 +194,19 @@ def min_cross_distance(desc_a, desc_b):
     """min of the 4 cross L2 distances between two 2-keypoint descriptors
     (Stereo_Matches.cpp:736-740). desc_a, desc_b: (..., 2, D)."""
     diff = desc_a[..., :, None, :] - desc_b[..., None, :, :]   # (..., 2, 2, D)
-    d = jnp.linalg.norm(diff, axis=-1)
+    d = jnp.linalg.norm(diff.astype(jnp.float32), axis=-1)
     return jnp.min(d, axis=(-2, -1))
+
+
+def min_cross_distance_dot(desc_a, desc_b):
+    """Same result as min_cross_distance via |a|^2 + |b|^2 - 2 a.b - the
+    dot runs on the MXU and no (.., 2, 2, D) difference tensor is
+    materialized. desc_a: (B, 2, D); desc_b: (B, C, 2, D)."""
+    a = desc_a.astype(jnp.float32)
+    b = desc_b.astype(jnp.float32)
+    a2 = jnp.sum(a * a, -1)                     # (B, 2)
+    b2 = jnp.sum(b * b, -1)                     # (B, C, 2)
+    ab = jnp.einsum("bid,bcjd->bcij", a, b)     # (B, C, 2, 2)
+    d2 = a2[:, None, :, None] + b2[:, :, None, :] - 2.0 * ab
+    d2 = jnp.maximum(d2, 0.0)
+    return jnp.sqrt(jnp.min(d2, axis=(-2, -1)))

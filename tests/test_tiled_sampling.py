@@ -84,8 +84,9 @@ def test_descriptors_tiled_match_direct(rng):
     d_ref = DESC.edge_descriptors(
         jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(x), jnp.asarray(y),
         jnp.asarray(th))
-    np.testing.assert_allclose(np.asarray(d_tiled), np.asarray(d_ref),
-                               rtol=1e-3, atol=0.3)
+    # tiled descriptors are stored bf16 (documented); ~0.4% quantization
+    np.testing.assert_allclose(np.asarray(d_tiled, dtype=np.float32),
+                               np.asarray(d_ref), rtol=8e-3, atol=1.0)
 
 
 def test_gn_batch_matches_scalar(rng):
