@@ -16,12 +16,18 @@ import numpy as np
 
 
 def _nt_to_arrays(nt, prefix, out):
-    """Recursively flatten NamedTuples of arrays into {name: array}."""
+    """Recursively flatten NamedTuples of arrays into {name: array}.
+    bfloat16 (not numpy-serializable) is stored as a uint16 bit view with
+    a name suffix tag."""
     if hasattr(nt, "_fields"):
         for f in nt._fields:
             _nt_to_arrays(getattr(nt, f), f"{prefix}{f}.", out)
     else:
-        out[prefix[:-1]] = np.asarray(nt)
+        a = np.asarray(nt)
+        if a.dtype.name == "bfloat16":
+            out[prefix[:-1] + "@bf16"] = a.view(np.uint16)
+        else:
+            out[prefix[:-1]] = a
 
 
 def _arrays_to_nt(cls, prefix, data):
@@ -36,6 +42,8 @@ def _arrays_to_nt(cls, prefix, data):
         key = f"{prefix}{f}"
         if key in data:
             kwargs[f] = jnp.asarray(data[key])
+        elif key + "@bf16" in data:
+            kwargs[f] = jnp.asarray(data[key + "@bf16"]).view(jnp.bfloat16)
         else:
             # nested NamedTuple
             sub_cls = hints.get(f)
