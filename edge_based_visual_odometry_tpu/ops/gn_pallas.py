@@ -2,9 +2,26 @@
 
 The XLA formulation (gauss_newton.refine_along_epipolar_batch) re-streams
 the per-candidate tile stack and einsum intermediates through HBM on every
-GN iteration (~150 ms for 32k candidates at KITTI size). This kernel keeps
-each candidate block's tiles, left patches and per-candidate state in VMEM
-for the whole 20-iteration solve; HBM sees each tile exactly once.
+GN iteration. This kernel keeps each candidate block's tiles, left patches
+and per-candidate state in VMEM for the whole 20-iteration solve; HBM sees
+each tile exactly once.
+
+STATUS: numerically exact vs the XLA path on TPU (max |delta alpha| = 0 at
+B=65k), but measured SLOWER: 57.8 ms vs 33.8 ms (v5e, 65536 pairs, 50%
+active, KITTI size, block_b=128). The (Bc, 3, 48, 48) tile block lane-pads
+48->128 (62.5% of VMEM bandwidth wasted) and the hat-weight sampling runs
+as a VPU contraction here, while the XLA formulation does the same
+sampling as lane-dense MXU einsums and overlaps the re-streaming well.
+Fixing it would need a candidate-in-lanes (3, T, T, 128) layout with a
+batched-over-lanes contraction Mosaic does not currently express well.
+Retained (like toed_pallas) as the tested Pallas reference; the default
+path stays ops/gauss_newton.py.
+
+Mosaic portability notes earned here: iota must be integer (build f32
+ramps from int iota + cast); kernels cannot capture array constants;
+bool (i1) vectors cannot be select/carried in while_loop ("Unsupported
+target bitwidth for truncation") - use f32 0/1 masks; the default 16 MB
+scoped-vmem cap is raised via CompilerParams(vmem_limit_bytes).
 
 Same math/semantics as the XLA path (which itself mirrors the reference
 min_Edge_Photometric_Residual_by_Gauss_Newton_along_EpipolarLine,
@@ -53,7 +70,7 @@ def _gn_kernel(tiles_ref, lpat_ref, geom_ref, out_ref, *,
     diry = g[:, 5:6]
     ct = g[:, 6:7]
     st = g[:, 7:8]
-    active = g[:, 8:9] > 0.5
+    active = g[:, 8:9]
 
     # rotated patch offsets from an integer iota (Mosaic: iota must be
     # int, and array constants can't be captured by the kernel)
@@ -82,8 +99,9 @@ def _gn_kernel(tiles_ref, lpat_ref, geom_ref, out_ref, *,
             outs.append(jnp.sum(p1 * w_col, axis=2))
         return outs
 
+    # carries are all f32 masks: Mosaic cannot select/carry i1 vectors
     def body(carry):
-        alpha, done, score, conf, valid, it = carry
+        alpha, done_f, score, conf, valid_f, it = carry
         sxp = cpx + rot_x + alpha * dirx
         syp = cpy + rot_y + alpha * diry
         sxm = cmx + rot_x + alpha * dirx
@@ -103,31 +121,34 @@ def _gn_kernel(tiles_ref, lpat_ref, geom_ref, out_ref, *,
         b = jnp.sum(w * grad * r, axis=1, keepdims=True)
         cost = jnp.sum(w * r * r, axis=1, keepdims=True)
 
-        degenerate = Hh < 1e-8
-        delta = jnp.where(degenerate, 0.0, -b / jnp.maximum(Hh, 1e-8))
-        new_alpha = alpha + delta
+        deg_f = (Hh < 1e-8).astype(jnp.float32)
+        delta = (1.0 - deg_f) * (-b / jnp.maximum(Hh, 1e-8))
         rms = jnp.sqrt(cost / (2 * pp))
-        converged = (jnp.abs(delta) < tol) | (it == max_iter - 1)
-        is_outlier = (rms > huber_delta * 2.0) | (it < 1)
-        finish = converged & (~done) & (~degenerate)
-        score = jnp.where(finish, rms, score)
-        conf = jnp.where(finish, jnp.exp(-rms / huber_delta), conf)
-        valid = jnp.where(finish, ~is_outlier, valid)
-        alpha = jnp.where(done | degenerate, alpha, new_alpha)
-        done = done | converged | degenerate
-        return alpha, done, score, conf, valid, it + 1
+        conv_f = jnp.maximum(
+            (jnp.abs(delta) < tol).astype(jnp.float32),
+            jnp.float32(it == max_iter - 1))
+        ok_f = ((rms <= huber_delta * 2.0).astype(jnp.float32)
+                * jnp.float32(it >= 1))
+        fin_f = conv_f * (1.0 - done_f) * (1.0 - deg_f)
+        score = fin_f * rms + (1.0 - fin_f) * score
+        conf = fin_f * jnp.exp(-rms / huber_delta) + (1.0 - fin_f) * conf
+        valid_f = fin_f * ok_f + (1.0 - fin_f) * valid_f
+        step_f = (1.0 - done_f) * (1.0 - deg_f)
+        alpha = alpha + step_f * delta
+        done_f = jnp.maximum(done_f, jnp.maximum(conv_f, deg_f))
+        return alpha, done_f, score, conf, valid_f, it + 1
 
     init = (jnp.zeros((block_b, 1), jnp.float32),
-            ~active,
+            1.0 - active,
             jnp.full((block_b, 1), 1e6, jnp.float32),
             jnp.zeros((block_b, 1), jnp.float32),
-            jnp.zeros((block_b, 1), jnp.bool_),
+            jnp.zeros((block_b, 1), jnp.float32),
             jnp.int32(0))
     out = jax.lax.while_loop(
-        lambda c: (c[5] < max_iter) & jnp.any(~c[1]), body, init)
-    alpha, _, score, conf, valid, _ = out
+        lambda c: (c[5] < max_iter) & jnp.any(c[1] < 0.5), body, init)
+    alpha, _, score, conf, valid_f, _ = out
     res = jnp.concatenate(
-        [alpha, score, conf, valid.astype(jnp.float32),
+        [alpha, score, conf, valid_f,
          jnp.zeros((block_b, 4), jnp.float32)], axis=1)
     out_ref[:, :] = res
 
@@ -209,6 +230,11 @@ def refine_along_epipolar_pallas(left_img, right_img, right_gx, right_gy,
         out_specs=pl.BlockSpec((block_b, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            # the (Bc,3,48,48) tile block lane-pads 48->128 and is
+            # double-buffered; the default 16MB scoped-vmem cap is far
+            # below v5e's 128MB physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(tiles, lpat, geom)
 
