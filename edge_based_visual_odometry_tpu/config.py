@@ -107,7 +107,9 @@ class VOConfig:
     max_quad_candidates: int = 24   # per-KF-mate temporal candidate capacity
     quad_gather_slots: int = 576    # raw temporal grid-gather slots (total)
     max_pose_quads: int = 16384     # flat quad budget for RANSAC scoring
-    sample_chunk: int = 2048        # candidates per chunk in tiled sampling
+    sample_chunk: int = 512         # candidates per chunk in tiled sampling
+    # (swept on v5e at KITTI size: 512 beats 1024/2048/4096/8192 - smaller
+    # serial chunks pipeline better against the atlas row-gathers)
                                     # (bounds tile-buffer HBM working set)
     cell_capacity: int = 16         # per-grid-cell edge capacity
 
