@@ -42,6 +42,29 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "frame") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> Mesh:
+    """Multi-host entry point: initialize jax.distributed (auto-detected on
+    Cloud TPU pods when all args are None) and return the global frame mesh
+    over every chip in the slice.
+
+    The per-pair pipeline has no cross-pair dependencies, so the same
+    `build_sharded_pair_step` works unchanged: frame-pair batches shard over
+    all hosts' chips, and the only cross-host traffic is the final scalar
+    AllReduce (which XLA routes over ICI within a slice). Launch the same
+    script per host with host-local input shards (jax.make_array_from
+    _process_local_data) - see tests/test_parallel.py for the single-host
+    virtual-mesh equivalent.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return make_mesh()
+
+
 class PairStepOutput(NamedTuple):
     R: jnp.ndarray              # (B, 3, 3) relative poses KF->CF
     t: jnp.ndarray              # (B, 3)
