@@ -110,6 +110,9 @@ class VOConfig:
     sample_chunk: int = 512         # candidates per chunk in tiled sampling
     # (swept on v5e at KITTI size: 512 beats 1024/2048/4096/8192 - smaller
     # serial chunks pipeline better against the atlas row-gathers)
+    gn_chunk: int = 2048            # candidates per chunk in the GN refiners
+    # (GN re-samples its chunk every while_loop iteration, so it amortizes
+    # the opposite way: 2048 measured 4.5x faster than 512 in isolation)
                                     # (bounds tile-buffer HBM working set)
     cell_capacity: int = 16         # per-grid-cell edge capacity
 

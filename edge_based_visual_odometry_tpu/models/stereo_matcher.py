@@ -405,7 +405,7 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         state.cx[rows, slots], state.cy[rows, slots], epi_dir[rows],
         patch_size=cfg.patch_size, max_iter=cfg.gn_max_iter,
         tol=cfg.gn_tol, huber_delta=cfg.huber_delta,
-        chunk=cfg.sample_chunk, active=fmask)
+        chunk=cfg.gn_chunk, active=fmask)
     shift_x = res.delta * epi_dir[rows, 0]
     shift_y = res.delta * epi_dir[rows, 1]
     state = state._replace(

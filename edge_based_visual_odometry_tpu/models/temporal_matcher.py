@@ -279,7 +279,7 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
             ccx[rows, slots], ccy[rows, slots], cct[rows, slots],
             patch_size=cfg.patch_size, max_iter=cfg.gn_max_iter,
             tol=cfg.gn_tol, huber_delta=cfg.temporal_huber_delta,
-            chunk=cfg.sample_chunk, active=fmask)
+            chunk=cfg.gn_chunk, active=fmask)
 
     res_l = refine_side(kf_frame.left, cf_frame.left,
                         cf_frame.left_gx, cf_frame.left_gy,

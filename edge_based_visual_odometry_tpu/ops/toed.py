@@ -236,4 +236,10 @@ def detect_edges(img: jnp.ndarray, kernel_size: int = 17, sigma: float = 2.0,
     Ix, Iy, mag, orient = toed_gradient_field(img, kernel_size, sigma)
     sx, sy, smag, valid = toed_nms_subpixel(
         Ix, Iy, mag, orient, border=border, grad_mag_min=grad_mag_min)
+    # materialize the NMS maps before the compaction scatters: without this
+    # barrier XLA fuses the whole NMS chain into each scatter's update
+    # computation and recomputes it per payload with scatter-driven access
+    # patterns (measured: 53 ms -> ~12 ms for the full detect at KITTI size)
+    sx, sy, smag, orient, valid = jax.lax.optimization_barrier(
+        (sx, sy, smag, orient, valid))
     return extract_edges(sx, sy, smag, orient, valid, H, W, max_edges, border)
