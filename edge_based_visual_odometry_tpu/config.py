@@ -110,9 +110,10 @@ class VOConfig:
     sample_chunk: int = 512         # candidates per chunk in tiled sampling
     # (swept on v5e at KITTI size: 512 beats 1024/2048/4096/8192 - smaller
     # serial chunks pipeline better against the atlas row-gathers)
-    gn_chunk: int = 2048            # candidates per chunk in the GN refiners
-    # (GN re-samples its chunk every while_loop iteration, so it amortizes
-    # the opposite way: 2048 measured 4.5x faster than 512 in isolation)
+    gn_chunk: int = 512             # candidates per chunk in the GN refiners
+    # (isolated GN strongly prefers 2048 - 34 vs 154 ms at 65k pairs - but
+    # in-cascade the active set is small and 512 measured equal-or-better:
+    # 604 vs 610 ms stereo; kept as a separate knob for large-budget runs)
                                     # (bounds tile-buffer HBM working set)
     cell_capacity: int = 16         # per-grid-cell edge capacity
 

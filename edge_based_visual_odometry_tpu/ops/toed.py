@@ -236,10 +236,10 @@ def detect_edges(img: jnp.ndarray, kernel_size: int = 17, sigma: float = 2.0,
     Ix, Iy, mag, orient = toed_gradient_field(img, kernel_size, sigma)
     sx, sy, smag, valid = toed_nms_subpixel(
         Ix, Iy, mag, orient, border=border, grad_mag_min=grad_mag_min)
-    # materialize the NMS maps before the compaction scatters: without this
-    # barrier XLA fuses the whole NMS chain into each scatter's update
-    # computation and recomputes it per payload with scatter-driven access
-    # patterns (measured: 53 ms -> ~12 ms for the full detect at KITTI size)
-    sx, sy, smag, orient, valid = jax.lax.optimization_barrier(
-        (sx, sy, smag, orient, valid))
+    # NOTE: do NOT optimization_barrier the NMS maps before the scatters.
+    # An isolated detect_edges microbenchmark suggests the scatters recompute
+    # the NMS chain (47 ms standalone extract), but A/B on the full pipeline
+    # measured the barrier at 1.7x SLOWER end-to-end (1.603 -> 0.927
+    # frames/s): inside the composed per-frame program XLA's fusion choices
+    # are already right, and forcing 5 (2H, 2W) materializations breaks them.
     return extract_edges(sx, sy, smag, orient, valid, H, W, max_edges, border)
