@@ -19,6 +19,15 @@ import time
 import numpy as np
 import yaml
 
+# Honor JAX_PLATFORMS even when a sitecustomize pre-imported jax with a
+# platform already resolved (the env var is only read at first import, so
+# e.g. the test harness's JAX_PLATFORMS=cpu would otherwise be ignored and
+# small CLI runs would pay multi-minute remote accelerator compiles).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="TPU-native edge-based stereo VO")
