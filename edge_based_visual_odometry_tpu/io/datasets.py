@@ -179,8 +179,10 @@ def iter_eth3d_stereo(seq_path: str) -> Iterator[StereoSample]:
             p = os.path.join(folder, name)
             if os.path.exists(p):
                 setattr(s, attr, read_pfm(p))
-        for attr, name in (("left_occlusion", "occ0.png"),
-                           ("right_occlusion", "occ1.png")):
+        # Non-occlusion masks: 255 = visible in both views
+        # (LoadETH3DOcclusionMasks, Dataset.cpp:226 - mask{0,1}nocc.png)
+        for attr, name in (("left_occlusion", "mask0nocc.png"),
+                           ("right_occlusion", "mask1nocc.png")):
             p = os.path.join(folder, name)
             if os.path.exists(p):
                 setattr(s, attr, _imread_gray(p))

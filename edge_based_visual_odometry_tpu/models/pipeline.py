@@ -67,7 +67,7 @@ def build_stereo_step(rig: StereoRig, cfg: VOConfig, has_gt: bool):
     need_undistort_r = any(abs(d) > 0 for d in rig.right.distortion[:4])
 
     @jax.jit
-    def step(left, right, disparity=None):
+    def step(left, right, disparity=None, occlusion=None):
         left = left.astype(jnp.float32)
         right = right.astype(jnp.float32)
         if need_undistort_l:
@@ -90,7 +90,8 @@ def build_stereo_step(rig: StereoRig, cfg: VOConfig, has_gt: bool):
                                 border=cfg.toed_border)
         mates, _, metrics = SM.match_stereo(
             led, red, frame, rig_arrays, cfg,
-            disparity_map=disparity if has_gt else None)
+            disparity_map=disparity if has_gt else None,
+            occlusion_map=occlusion if has_gt else None)
         return FrameResult(frame=frame, mates=mates, stereo_metrics=metrics,
                            n_left_edges=led.count, n_right_edges=red.count)
 
@@ -198,16 +199,20 @@ class VOPipeline:
 
     def run_frame(self, left_img: np.ndarray, right_img: np.ndarray,
                   disparity: Optional[np.ndarray] = None,
-                  gt_pose: Optional[geom.Pose] = None):
+                  gt_pose: Optional[geom.Pose] = None,
+                  occlusion: Optional[np.ndarray] = None):
         """Process one stereo frame; returns (FrameResult,
-        TemporalResult | None)."""
+        TemporalResult | None). `occlusion`: ETH3D non-occlusion mask
+        (255 = visible), used by the GT supervision path."""
         if self._undistort_on_host:
             left_img = self._host_undistort(left_img, self.rig.left)
             right_img = self._host_undistort(right_img, self.rig.right)
         if self.has_gt_disparity:
+            occ = (jnp.asarray(occlusion) if occlusion is not None
+                   else jnp.full_like(jnp.asarray(disparity), 255.0))
             fr = self._stereo_step(jnp.asarray(left_img),
                                    jnp.asarray(right_img),
-                                   jnp.asarray(disparity))
+                                   jnp.asarray(disparity), occ)
         else:
             fr = self._stereo_step(jnp.asarray(left_img),
                                    jnp.asarray(right_img))

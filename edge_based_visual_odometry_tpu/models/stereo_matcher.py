@@ -199,8 +199,16 @@ def _scatter_back(template, rows, slots, fmask, values):
 
 def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
                  frame: FrameData, rig: RigArrays, cfg: VOConfig,
-                 disparity_map: Optional[jnp.ndarray] = None):
+                 disparity_map: Optional[jnp.ndarray] = None,
+                 occlusion_map: Optional[jnp.ndarray] = None):
     """Run the full stereo cascade.
+
+    `occlusion_map`: optional ETH3D non-occlusion mask (255 = visible in
+    both views, Dataset.cpp:226). When given alongside `disparity_map`,
+    edges whose GT location is occluded are excluded from the veridical
+    supervision sets (the reference loads these masks but its in-pipeline
+    use is commented out, Pipeline.cpp:71-72; threading them into the GT
+    path removes false "missed match" penalties at occlusions).
 
     Returns (StereoMates, StereoState, metrics) where metrics is a
     (n_stages, 4) array of [recall, precision, precision_pair, ambiguity]
@@ -223,6 +231,11 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
                        | (jnp.abs(deg - 180.0) < cfg.gt_orient_exclusion_deg)
                        | (jnp.abs(deg + 180.0) < cfg.gt_orient_exclusion_deg))
         gt_ok = disp_ok & jnp.isfinite(disp) & (disp >= 0) & ~orient_excl
+        if occlusion_map is not None:
+            # bilinear >= 254 == all 4 neighbor pixels are 255 (visible);
+            # conservative at occlusion boundaries
+            occ, occ_in = P.bilinear_sample_nan(occlusion_map, lx, ly)
+            gt_ok = gt_ok & occ_in & (occ >= 254.0)
         gt_x = jnp.where(gt_ok, lx - disp, -1.0)
         gt_y = jnp.where(gt_ok, ly, -1.0)
         ray1 = geom.pixel_to_ray(rig.K_left_inv, jnp.stack([lx, ly], -1))
@@ -325,20 +338,27 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         metrics.append(_metrics(st, cfg.dist_to_gt_thresh) if has_gt
                        else jnp.zeros((4,), jnp.float32))
 
+    # Row activity for chunk skipping: TOED edge lists are compacted in
+    # raster order (actives packed first), so chunks past the real edge
+    # count are skipped entirely (ops/tiled_sampling.py map_chunked).
+    row_active = jnp.any(state.cmask, axis=1)
+
     # ---- descriptors for all edges (augment_Edge_Data, ref :655-689) ----
     l_desc = DESC.edge_descriptors_tiled(
         frame.left_gx, frame.left_gy, lx, ly, lt,
         shift_mag=cfg.sift_shift_mag, n_samples=cfg.desc_patch_samples,
         n_spatial=cfg.desc_spatial_bins, n_orient=cfg.desc_orient_bins,
         spacing=cfg.desc_sample_spacing, clip=cfg.desc_clip,
-        scale=cfg.desc_scale, chunk=cfg.sample_chunk)
+        scale=cfg.desc_scale, chunk=cfg.sample_chunk,
+        active=left_edges.valid)
     r_desc = DESC.edge_descriptors_tiled(
         frame.right_gx, frame.right_gy, right_edges.x, right_edges.y,
         right_edges.theta,
         shift_mag=cfg.sift_shift_mag, n_samples=cfg.desc_patch_samples,
         n_spatial=cfg.desc_spatial_bins, n_orient=cfg.desc_orient_bins,
         spacing=cfg.desc_sample_spacing, clip=cfg.desc_clip,
-        scale=cfg.desc_scale, chunk=cfg.sample_chunk)
+        scale=cfg.desc_scale, chunk=cfg.sample_chunk,
+        active=right_edges.valid)
 
     # ---- stage 4: descriptor gate (ref :691-787), chunked over rows so
     # the (N, C, 2, D) gathered tensor (~1 GB at production sizes) never
@@ -351,7 +371,7 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         return DESC.min_cross_distance_dot(ld_c, cand)
 
     ddist = TS.map_chunked(_desc_chunk, (state.cand_idx, l_desc),
-                           N, cfg.sample_chunk)
+                           N, cfg.sample_chunk, active=row_active)
     state = state._replace(
         cmask=state.cmask & (ddist < cfg.sift_threshold),
         desc_dist=ddist)
@@ -360,12 +380,13 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     # ---- patches for NCC (get_edge_patches, utility.cpp:182-212) ----
     lp_p, lp_m, lok_p, lok_m = P.edge_patches_tiled(
         frame.left, lx, ly, lt, cfg.patch_size, cfg.orthogonal_shift_mag,
-        chunk=cfg.sample_chunk)
+        chunk=cfg.sample_chunk, active=left_edges.valid)
     l_patches = jnp.stack([lp_p, lp_m], axis=1)        # (N, 2, 49)
     l_patch_ok = jnp.stack([lok_p, lok_m], axis=1)
     rp_p, rp_m, rok_p, rok_m = P.edge_patches_tiled(
         frame.right, right_edges.x, right_edges.y, right_edges.theta,
-        cfg.patch_size, cfg.orthogonal_shift_mag, chunk=cfg.sample_chunk)
+        cfg.patch_size, cfg.orthogonal_shift_mag, chunk=cfg.sample_chunk,
+        active=right_edges.valid)
     r_patches = jnp.stack([rp_p, rp_m], axis=1)
     r_patch_ok = jnp.stack([rok_p, rok_m], axis=1)
 
@@ -379,7 +400,8 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
                       cp[:, :, 0], cp[:, :, 1], cok[:, :, 0], cok[:, :, 1])
 
     sim = TS.map_chunked(_ncc_chunk, (state.cand_idx, l_patches, l_patch_ok),
-                         N, cfg.sample_chunk)
+                         N, cfg.sample_chunk,
+                         active=jnp.any(state.cmask, axis=1))
     state = state._replace(cmask=state.cmask & (sim > cfg.ncc_thresh),
                            ncc=sim)
     record(state)
@@ -439,7 +461,7 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     ft = state.ctheta[rows, slots]
     pp, pm, okp, okm = P.edge_patches_tiled(
         frame.right, fx, fy, ft, cfg.patch_size, cfg.orthogonal_shift_mag,
-        chunk=cfg.sample_chunk)
+        chunk=cfg.sample_chunk, active=fmask)
     sim_f = P.ncc4(l_patches[rows, 0], l_patches[rows, 1],
                    l_patch_ok[rows, 0], l_patch_ok[rows, 1],
                    pp, pm, okp, okm)
@@ -489,7 +511,7 @@ def _finalize(state: StereoState, frame: FrameData, rig: RigArrays,
     # right patches at final positions (ref :1622)
     pp, pm, okp, okm = P.edge_patches_tiled(
         frame.right, rx, ry, rt, cfg.patch_size, cfg.orthogonal_shift_mag,
-        chunk=cfg.sample_chunk)
+        chunk=cfg.sample_chunk, active=valid)
     r_patches = jnp.stack([pp, pm], axis=1)
     r_patch_ok = jnp.stack([okp, okm], axis=1)
 
@@ -499,7 +521,7 @@ def _finalize(state: StereoState, frame: FrameData, rig: RigArrays,
         shift_mag=cfg.sift_shift_mag, n_samples=cfg.desc_patch_samples,
         n_spatial=cfg.desc_spatial_bins, n_orient=cfg.desc_orient_bins,
         spacing=cfg.desc_sample_spacing, clip=cfg.desc_clip,
-        scale=cfg.desc_scale, chunk=cfg.sample_chunk)
+        scale=cfg.desc_scale, chunk=cfg.sample_chunk, active=valid)
 
     # production 3D point: two-ray backprojection of the matched pair
     # (the pose stage re-derives exactly this, MotionTracker.cpp:34-47)

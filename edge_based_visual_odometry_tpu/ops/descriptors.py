@@ -116,7 +116,7 @@ def edge_descriptors_tiled(gx_img, gy_img, x, y, theta, shift_mag: float = 8.0,
                            n_orient: int = 8, spacing: float = 1.0,
                            clip: float = 0.2, scale: float = 512.0,
                            tile: int = 40, stride: int = 8,
-                           chunk: int = 8192):
+                           chunk: int = 8192, active=None):
     """Batched descriptor computation via tile-resident sampling and a
     factorized histogram einsum (no per-sample scatter-adds - those are as
     pathological on TPU as element gathers). Numerically identical binning
@@ -186,7 +186,8 @@ def edge_descriptors_tiled(gx_img, gy_img, x, y, theta, shift_mag: float = 8.0,
         # against the 500/200 gates; halves gather traffic downstream
         return (desc / jnp.maximum(norm2, 1e-7) * scale).astype(jnp.bfloat16)
 
-    out = TS.map_chunked(run_chunk, (kx, ky, kt), 2 * N, chunk)
+    act2 = None if active is None else jnp.concatenate([active, active])
+    out = TS.map_chunked(run_chunk, (kx, ky, kt), 2 * N, chunk, active=act2)
     return jnp.stack([out[:N], out[N:]], axis=1)
 
 

@@ -309,7 +309,7 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
 
     return TS.map_chunked(run_chunk,
                           (lx, ly, ltheta, rx, ry, epi_dir, active),
-                          B, chunk)
+                          B, chunk, active=active)
 
 
 def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
@@ -395,4 +395,4 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
 
     return TS.map_chunked(run_chunk,
                           (kx, ky, ktheta, cx, cy, ctheta, active),
-                          B, chunk)
+                          B, chunk, active=active)

@@ -123,13 +123,15 @@ def edge_patches(img, x, y, theta, patch_size: int, shift_mag: float):
 
 
 def edge_patches_tiled(img, x, y, theta, patch_size: int, shift_mag: float,
-                       tile: int = 32, stride: int = 8, chunk: int = 8192):
+                       tile: int = 32, stride: int = 8, chunk: int = 8192,
+                       active=None):
     """Batched two-side edge patches via tile-resident sampling
     (ops/tiled_sampling.py) - same outputs as `edge_patches` but with one
     slice-gathered tile per edge instead of per-sample element gathers.
 
     x, y, theta: (B,). Returns (patch_plus, patch_minus, ok_plus, ok_minus)
-    with patches (B, P*P).
+    with patches (B, P*P). `active`: optional (B,) mask - all-inactive
+    chunks are skipped (outputs zero/False there).
     """
     from edge_based_visual_odometry_tpu.ops import tiled_sampling as TS
 
@@ -161,7 +163,7 @@ def edge_patches_tiled(img, x, y, theta, patch_size: int, shift_mag: float,
         okm = jnp.all(inb[:, pp:], -1)
         return vals[:, :pp], vals[:, pp:], okp, okm
 
-    return TS.map_chunked(run_chunk, (x, y, theta), B, chunk)
+    return TS.map_chunked(run_chunk, (x, y, theta), B, chunk, active=active)
 
 
 def ncc(p1, p2, valid=None, eps: float = 1e-10):

@@ -139,10 +139,18 @@ def sample_atlas(atlas: TileAtlas, cx, cy, xs, ys):
     return bilinear_sample_tiles(tiles, ox, oy, xs, ys)
 
 
-def map_chunked(fn, args, batch: int, chunk: int):
+def map_chunked(fn, args, batch: int, chunk: int, active=None):
     """Apply `fn` (pytree of (chunk, ...) arrays -> pytree of (chunk, ...)
     arrays) over a (batch, ...) pytree in sequential chunks via lax.map -
-    bounds the HBM working set of tile buffers and einsum temporaries."""
+    bounds the HBM working set of tile buffers and einsum temporaries.
+
+    `active`: optional (batch,) bool mask. Chunks whose mask is all-False
+    are skipped with a lax.cond (their outputs are zeros) - with actives
+    packed first (the flat-compaction layout used throughout the cascade)
+    this makes the padded tail of a static capacity budget nearly free:
+    no tile fetch, no sampling einsums, no GN iterations. Callers must
+    consume outputs only on active lanes.
+    """
     n_chunks = -(-batch // chunk)
     pad = n_chunks * chunk - batch
 
@@ -151,6 +159,21 @@ def map_chunked(fn, args, batch: int, chunk: int):
         return a.reshape(n_chunks, chunk, *a.shape[1:])
 
     args_c = jax.tree_util.tree_map(pad_reshape, args)
-    out = jax.lax.map(fn, args_c)
+    if active is None:
+        out = jax.lax.map(fn, args_c)
+    else:
+        act_c = pad_reshape(active)
+        out_shapes = jax.eval_shape(
+            fn, jax.tree_util.tree_map(lambda a: a[0], args_c))
+
+        def guarded(carry):
+            args_i, act_i = carry
+            return jax.lax.cond(
+                jnp.any(act_i),
+                lambda: fn(args_i),
+                lambda: jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), out_shapes))
+
+        out = jax.lax.map(guarded, (args_c, act_c))
     return jax.tree_util.tree_map(
         lambda a: a.reshape(n_chunks * chunk, *a.shape[2:])[:batch], out)

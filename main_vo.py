@@ -99,7 +99,8 @@ def main(argv=None):
             gt_traj.append(gt_pose)
         fr, tr = pipe.run_frame(sample.left, sample.right,
                                 disparity=sample.left_disparity,
-                                gt_pose=gt_pose)
+                                gt_pose=gt_pose,
+                                occlusion=sample.left_occlusion)
         n += 1
         msg = (f"frame {n - 1}: edges L/R = {int(fr.n_left_edges)}/"
                f"{int(fr.n_right_edges)}, mates = {int(fr.mates.count)}")
