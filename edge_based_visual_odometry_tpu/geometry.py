@@ -124,10 +124,21 @@ def R_to_quat(R: np.ndarray) -> np.ndarray:
 
 def epipolar_lines(F: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Epipolar line coefficients l = F @ [x, y, 1] for (..., 2) points
-    (reference Stereo_Matches.cpp:10-20). Returns (..., 3)."""
-    ones = jnp.ones_like(xy[..., :1])
-    homog = jnp.concatenate([xy, ones], axis=-1)
-    return jnp.einsum("ij,...j->...i", F, homog)
+    (reference Stereo_Matches.cpp:10-20). Returns (..., 3).
+
+    Written elementwise on purpose: the obvious
+    ``einsum("ij,...j->...i", F, concat([xy, ones]))`` formulation
+    miscompiles on TPU when F is a closed-over constant — the constant
+    column (the `c` coefficient, F @ [0,0,1]) is silently dropped,
+    which zeroes every epipolar gate downstream. Keep this as scalar
+    multiply-adds; do NOT "simplify" back to a matmul.
+    """
+    x = xy[..., 0]
+    y = xy[..., 1]
+    a = F[0, 0] * x + F[0, 1] * y + F[0, 2]
+    b = F[1, 0] * x + F[1, 1] * y + F[1, 2]
+    c = F[2, 0] * x + F[2, 1] * y + F[2, 2]
+    return jnp.stack([a, b, c], axis=-1)
 
 
 def point_line_distance(line: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:

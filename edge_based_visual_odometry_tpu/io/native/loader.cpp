@@ -15,6 +15,7 @@
 
 #include <atomic>
 #include <condition_variable>
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -40,7 +41,16 @@ bool decode_png_gray(const std::string& path, std::vector<float>& out,
   }
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    std::fclose(fp);
+    return false;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    std::fclose(fp);
+    return false;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
@@ -87,9 +97,34 @@ bool decode_pgm_gray(const std::string& path, std::vector<float>& out,
   FILE* fp = std::fopen(path.c_str(), "rb");
   if (!fp) return false;
   char magic[3] = {0};
-  int w = 0, h = 0, maxv = 0;
-  if (std::fscanf(fp, "%2s %d %d %d", magic, &w, &h, &maxv) != 4 ||
-      std::strcmp(magic, "P5") != 0 || w != expect_w || h != expect_h) {
+  if (std::fscanf(fp, "%2s", magic) != 1 || std::strcmp(magic, "P5") != 0) {
+    std::fclose(fp);
+    return false;
+  }
+  // header ints with '#' comment-line handling (PGM allows comments
+  // anywhere between tokens)
+  int vals[3] = {0, 0, 0};
+  for (int got = 0; got < 3;) {
+    int c = std::fgetc(fp);
+    if (c == EOF) {
+      std::fclose(fp);
+      return false;
+    }
+    if (c == '#') {
+      while (c != '\n' && c != EOF) c = std::fgetc(fp);
+    } else if (std::isspace(c)) {
+      continue;
+    } else {
+      std::ungetc(c, fp);
+      if (std::fscanf(fp, "%d", &vals[got]) != 1) {
+        std::fclose(fp);
+        return false;
+      }
+      ++got;
+    }
+  }
+  const int w = vals[0], h = vals[1];
+  if (w != expect_w || h != expect_h) {
     std::fclose(fp);
     return false;
   }

@@ -61,6 +61,9 @@ class TemporalResult(NamedTuple):
 def build_stereo_step(rig: StereoRig, cfg: VOConfig, has_gt: bool):
     """Returns jitted fn (left_u8, right_u8[, disparity]) -> FrameResult."""
     rig_arrays = RigArrays.from_rig(rig)
+    # static gather band from the rig's epipolar geometry: 4 px for
+    # rectified rigs, wider for verged ones (see SM.derive_gather_band)
+    gather_ry = SM.derive_gather_band(rig, cfg)
     dist_l = jnp.asarray(rig.left.distortion[:4], jnp.float32)
     dist_r = jnp.asarray(rig.right.distortion[:4], jnp.float32)
     need_undistort_l = any(abs(d) > 0 for d in rig.left.distortion[:4])
@@ -91,7 +94,8 @@ def build_stereo_step(rig: StereoRig, cfg: VOConfig, has_gt: bool):
         mates, _, metrics = SM.match_stereo(
             led, red, frame, rig_arrays, cfg,
             disparity_map=disparity if has_gt else None,
-            occlusion_map=occlusion if has_gt else None)
+            occlusion_map=occlusion if has_gt else None,
+            gather_ry=gather_ry)
         return FrameResult(frame=frame, mates=mates, stereo_metrics=metrics,
                            n_left_edges=led.count, n_right_edges=red.count)
 
@@ -173,8 +177,13 @@ class VOPipeline:
             self.rig, self.cfg, self.use_gt_pose)
         self.wba = None
         if self.ba_window >= 2:
-            assert self.keyframe_policy == "every_frame", \
-                "windowed BA requires the every_frame keyframe policy"
+            # Track chaining links the PREVIOUS keyframe's mates to the
+            # new keyframe through the quads of the re-keyframing frame,
+            # which holds for every policy that re-keyframes ('every_frame'
+            # and 'adaptive'); only the reference's frame-0-forever policy
+            # never yields a second keyframe.
+            assert self.keyframe_policy in ("every_frame", "adaptive"), \
+                "windowed BA requires a re-keyframing policy"
             from edge_based_visual_odometry_tpu.models.window_ba import (
                 WindowBA, WindowBAConfig)
             self.wba = WindowBA(self.rig.left.K,
@@ -186,7 +195,8 @@ class VOPipeline:
         self.frame_idx = 0
         self.stereo_metrics_log = []
         self.temporal_metrics_log = []
-        self.last_rel = geom.Pose.identity()             # previous KF->CF
+        self.last_rel = geom.Pose.identity()             # predicted KF->CF
+        self.prev_cam_pose: Optional[geom.Pose] = None   # previous frame world->cam
 
     def _host_undistort(self, img, cam):
         """Undistort on the host like the reference (cv::undistort,
@@ -223,6 +233,7 @@ class VOPipeline:
         if self.keyframe is None:
             self._set_keyframe(fr, gt_pose)
             self.trajectory.append(self.kf_pose_est)
+            self.prev_cam_pose = self.kf_pose_est
             if self.wba is not None:
                 self.wba.add_keyframe(fr.mates, self.kf_pose_est)
         else:
@@ -238,13 +249,19 @@ class VOPipeline:
                 self.temporal_metrics_log.append(
                     np.asarray(tr.temporal_metrics))
             rel_est = geom.Pose(tr.R, tr.t)
-            self.last_rel = rel_est
             cam_pose = rel_est.compose(self.kf_pose_est)
             self.trajectory.append(cam_pose)
+            # constant-velocity prediction for the next frame's quad
+            # search: vel = previous frame -> current frame motion. The
+            # earlier identity reset made every_frame runs predict
+            # zero motion, so the 30 px gather radius had to absorb the
+            # full inter-frame motion (ADVICE r1).
+            vel = geom.relative_pose(self.prev_cam_pose, cam_pose)
+            self.prev_cam_pose = cam_pose
             if self._should_rekeyframe(tr):
                 self.kf_pose_est = cam_pose
                 self._set_keyframe(fr, gt_pose)
-                self.last_rel = geom.Pose.identity()
+                self.last_rel = vel          # next KF->CF ~ one step
                 if self.wba is not None:
                     from edge_based_visual_odometry_tpu.models.window_ba import (
                         best_links_from_quads)
@@ -256,6 +273,8 @@ class VOPipeline:
                         # refresh the trajectory tail + current estimate
                         self.trajectory[-len(poses):] = poses
                         self.kf_pose_est = poses[-1]
+            else:
+                self.last_rel = vel.compose(rel_est)
         self.frame_idx += 1
         return fr, tr
 

@@ -176,8 +176,10 @@ def _flatten_active(cmask, max_pairs: int):
     N, C = cmask.shape
     flat = cmask.reshape(-1)
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    tgt = jnp.where(flat, pos, max_pairs)
     lin = jnp.arange(N * C, dtype=jnp.int32)
+    # distinct OOB targets for dropped entries: unique_indices=True is a
+    # promise, and duplicated (even dropped) indices are UB on TPU
+    tgt = jnp.where(flat, pos, max_pairs + lin)
     slot_of = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(
         lin, mode="drop", unique_indices=True)
     n_active = jnp.minimum(pos[-1] + 1, max_pairs)
@@ -191,16 +193,65 @@ def _scatter_back(template, rows, slots, fmask, values):
     """Scatter flat values back into an (N, C) tensor."""
     N, C = template.shape
     lin = rows * C + slots
-    lin = jnp.where(fmask, lin, N * C)
+    # distinct OOB targets (see _flatten_active)
+    lin = jnp.where(fmask, lin,
+                    N * C + jnp.arange(lin.shape[0], dtype=jnp.int32))
     flatt = template.reshape(-1)
     out = flatt.at[lin].set(values, mode="drop", unique_indices=True)
     return out.reshape(N, C)
 
 
+def derive_gather_band(rig, cfg: VOConfig) -> float:
+    """Vertical half-height (px) of the stage-1 candidate gather window,
+    derived from the rig's epipolar geometry (host-side, static).
+
+    The reference scans ALL right edges in its epipolar filter
+    (Stereo_Matches.cpp:381-419) and so has no blind spot. Our banded grid
+    query needs a static vertical bound on the displacement u = q - p of a
+    valid candidate q from the left edge p. q satisfies
+    |dist(q, line(p))| <= eps and |u| <= D (the stage-2 gate uses the
+    Euclidean distance, Stereo_Matches.cpp:534-553). Writing
+    delta(p) = dist(p, line(p)) (zero for rectified rigs, large for verged
+    ones - p itself need not sit on its own epipolar line), the feasible u
+    lies on the strip {n . u = -delta +- eps} within the disk, so
+      |u_y| <= delta |n_y| + sqrt(D^2 - delta^2) |t_y| + eps,
+    with (n, t) the line's unit normal/direction. Maximized over a host
+    grid of image points. Rectified rigs evaluate to the old 4.0 band;
+    verged rigs (e.g. EuRoC's real extrinsics) widen so sloped/offset
+    epipolar geometry keeps full recall (round-1 ADVICE finding).
+
+    rig: config.StereoRig (host).
+    """
+    import numpy as np
+
+    F = np.asarray(rig.F21, np.float64)
+    W, H = rig.left.width, rig.left.height
+    D = float(cfg.max_disparity)
+    eps = float(cfg.epipolar_line_dist_thresh)
+    xs = np.linspace(0.0, W - 1.0, 32)
+    ys = np.linspace(0.0, H - 1.0, 32)
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx.ravel(), gy.ravel(), np.ones(gx.size)], -1)
+    lines = pts @ F.T                       # right-image lines (a, b, c)
+    a, b, c = lines[:, 0], lines[:, 1], lines[:, 2]
+    norm = np.hypot(a, b)
+    ok = norm > 1e-12
+    a, b, c = a[ok], b[ok], c[ok]
+    norm = norm[ok]
+    ny = np.abs(b) / norm                   # unit normal y-component
+    ty = np.abs(a) / norm                   # unit direction y-component
+    delta = np.abs(a * pts[ok, 0] + b * pts[ok, 1] + c) / norm
+    delta = np.minimum(delta, D)            # beyond D: no candidates at all
+    dy = delta * ny + np.sqrt(np.maximum(D * D - delta * delta, 0.0)) * ty
+    ry = (float(dy.max()) if dy.size else 0.0) + eps + 1.0
+    return float(max(4.0, min(ry, H / 2.0)))
+
+
 def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
                  frame: FrameData, rig: RigArrays, cfg: VOConfig,
                  disparity_map: Optional[jnp.ndarray] = None,
-                 occlusion_map: Optional[jnp.ndarray] = None):
+                 occlusion_map: Optional[jnp.ndarray] = None,
+                 gather_ry: float = 4.0):
     """Run the full stereo cascade.
 
     `occlusion_map`: optional ETH3D non-occlusion mask (255 = visible in
@@ -211,8 +262,9 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     path removes false "missed match" penalties at occlusions).
 
     Returns (StereoMates, StereoState, metrics) where metrics is a
-    (n_stages, 4) array of [recall, precision, precision_pair, ambiguity]
-    per stage (all zeros without GT), row-indexed by STAGE_NAMES.
+    (n_stages, 4) array row-indexed by STAGE_NAMES: with GT,
+    [recall, precision, precision_pair, ambiguity] per stage; without GT,
+    [rows with >=1 candidate, total candidates, 0, 0] survival diagnostics.
     """
     has_gt = disparity_map is not None
     N = cfg.max_edges
@@ -279,18 +331,30 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     # truncation only happens after the orientation stage, where measured
     # ambiguity is small (reference has no capacity at all - its candidate
     # vectors shrink via erase; SURVEY.md §7 hard-part #2). ----
+    # gather window sized from epipolar geometry (derive_gather_band):
+    # 4.0 px / 2 bands for rectified rigs, wider for verged ones
+    n_band_window = int(-(-2.0 * gather_ry // 8)) + 1
     gidx, g_attrs, gmask = GRID.query_sorted_grid_attrs(
-        rgrid, lx, ly, rx=cfg.max_disparity + 1.5, ry=4.0,
-        slots_per_band=cfg.gather_slots // 2, n_band_window=2)
+        rgrid, lx, ly, rx=cfg.max_disparity + 1.5, ry=gather_ry,
+        slots_per_band=max(8, cfg.gather_slots // n_band_window),
+        n_band_window=n_band_window)
     g_x = g_attrs[..., 0]
     g_y = g_attrs[..., 1]
     g_t = g_attrs[..., 2]
 
     metrics = []
 
+    def _count_row(mask):
+        """Production-mode stage diagnostics: [rows with >=1 candidate,
+        total candidates, 0, 0] - free (computed on-device with the rest
+        of the program) and makes silent cascade collapse visible."""
+        return jnp.stack([jnp.sum(jnp.any(mask, 1)).astype(jnp.float32),
+                          jnp.sum(mask).astype(jnp.float32),
+                          jnp.float32(0.0), jnp.float32(0.0)])
+
     def record_raw(mask):
         if not has_gt:
-            metrics.append(jnp.zeros((4,), jnp.float32))
+            metrics.append(_count_row(mask))
             return
         d = jnp.sqrt((g_x - gt_x[:, None]) ** 2 + (g_y - gt_y[:, None]) ** 2)
         tp = mask & (d <= cfg.dist_to_gt_thresh)
@@ -336,7 +400,7 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
 
     def record(st):
         metrics.append(_metrics(st, cfg.dist_to_gt_thresh) if has_gt
-                       else jnp.zeros((4,), jnp.float32))
+                       else _count_row(st.cmask))
 
     # Row activity for chunk skipping: TOED edge lists are compacted in
     # raster order (actives packed first), so chunks past the real edge
@@ -494,7 +558,8 @@ def _finalize(state: StereoState, frame: FrameData, rig: RigArrays,
     M = cfg.max_mates
     alive = state.row_mask
     pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
-    tgt = jnp.where(alive, pos, M)
+    # distinct OOB targets (see _flatten_active)
+    tgt = jnp.where(alive, pos, M + jnp.arange(N, dtype=jnp.int32))
     count = jnp.minimum(pos[-1] + 1, M).astype(jnp.int32)
     row_of = jnp.zeros((M,), jnp.int32).at[tgt].set(
         jnp.arange(N, dtype=jnp.int32), mode="drop", unique_indices=True)

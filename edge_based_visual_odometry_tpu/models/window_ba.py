@@ -151,6 +151,11 @@ class WindowBA:
                     x_init_done[li] = True
         n_obs = len(obs_kf)
         if n_obs > self.cfg.max_obs:
+            import warnings
+            warnings.warn(
+                f"WindowBA: truncating {n_obs} observations to "
+                f"max_obs={self.cfg.max_obs}; raise WindowBAConfig.max_obs "
+                f"to use all tracks", stacklevel=2)
             obs_kf = obs_kf[: self.cfg.max_obs]
             obs_lm = obs_lm[: self.cfg.max_obs]
             obs_uv = obs_uv[: self.cfg.max_obs]

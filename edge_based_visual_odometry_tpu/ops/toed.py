@@ -210,8 +210,13 @@ def extract_edges(subpix_x, subpix_y, subpix_mag, orient, valid,
     flat_keep = keep.reshape(-1)
     pos = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
     count = jnp.minimum(pos[-1] + 1, max_edges).astype(jnp.int32)
-    # scatter in raster order; overflow beyond capacity is dropped
-    tgt = jnp.where(flat_keep, pos, max_edges)
+    # scatter in raster order; overflow beyond capacity is dropped.
+    # Dropped entries get DISTINCT out-of-bounds targets (max_edges + i):
+    # unique_indices=True is a promise to XLA, and aiming every dropped
+    # entry at the same OOB index violates it - undefined behavior that
+    # miscompiled on TPU (silent all-masked outputs at some shapes).
+    lin_ = jnp.arange(flat_keep.shape[0], dtype=jnp.int32)
+    tgt = jnp.where(flat_keep, pos, max_edges + lin_)
 
     def scatter(v):
         return jnp.zeros((max_edges,), v.dtype).at[tgt].set(

@@ -79,6 +79,7 @@ def build_pair_step(rig: StereoRig, cfg: VOConfig):
     rel_R_init, rel_t_init, seed) -> pose + stats. vmap/shard over leading
     batch."""
     rig_arrays = RigArrays.from_rig(rig)
+    gather_ry = SM.derive_gather_band(rig, cfg)
 
     def one_pair(kf_l, kf_r, cf_l, cf_r, rel_R0, rel_t0, seed):
         def prep(l, r):
@@ -91,7 +92,8 @@ def build_pair_step(rig: StereoRig, cfg: VOConfig):
             re = toed.detect_edges(r, cfg.toed_kernel_size, cfg.toed_sigma,
                                    cfg.toed_grad_mag_min, cfg.max_edges,
                                    cfg.toed_border)
-            mates, _, _ = SM.match_stereo(le, re, fr, rig_arrays, cfg)
+            mates, _, _ = SM.match_stereo(le, re, fr, rig_arrays, cfg,
+                                          gather_ry=gather_ry)
             return fr, mates
 
         kf_frame, kf_mates = prep(kf_l.astype(jnp.float32),

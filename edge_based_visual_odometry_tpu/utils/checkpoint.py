@@ -51,6 +51,44 @@ def _arrays_to_nt(cls, prefix, data):
     return cls(**kwargs)
 
 
+def _wba_to_arrays(wba, arrays, meta):
+    """Serialize WindowBA track state (keyframe poses + per-KF track
+    dicts) into flat arrays."""
+    meta["wba_n_kf"] = len(wba.kf_poses)
+    meta["wba_next_track"] = wba._next_track
+    for k in range(len(wba.kf_poses)):
+        arrays[f"wba_T_{k}"] = np.asarray(wba.kf_poses[k])
+        slots = np.array(sorted(wba.kf_tracks[k]), np.int64)
+        arrays[f"wba_slots_{k}"] = slots
+        arrays[f"wba_tids_{k}"] = np.array(
+            [wba.kf_tracks[k][s] for s in slots], np.int64)
+        for name, store in (("uv", wba.kf_uv), ("normal", wba.kf_normal),
+                            ("gamma", wba.kf_gamma)):
+            arrays[f"wba_{name}_{k}"] = (
+                np.stack([store[k][s] for s in slots])
+                if len(slots) else np.zeros((0, 3 if name == "gamma" else 2)))
+
+
+def _wba_from_arrays(wba, data, meta):
+    wba._next_track = int(meta["wba_next_track"])
+    wba.kf_poses, wba.kf_tracks = [], []
+    wba.kf_uv, wba.kf_normal, wba.kf_gamma = [], [], []
+    for k in range(int(meta["wba_n_kf"])):
+        wba.kf_poses.append(np.asarray(data[f"wba_T_{k}"], np.float64))
+        slots = data[f"wba_slots_{k}"]
+        tids = data[f"wba_tids_{k}"]
+        wba.kf_tracks.append({int(s): int(t) for s, t in zip(slots, tids)})
+        wba.kf_uv.append({int(s): np.asarray(data[f"wba_uv_{k}"][i],
+                                             np.float32)
+                          for i, s in enumerate(slots)})
+        wba.kf_normal.append({int(s): np.asarray(data[f"wba_normal_{k}"][i],
+                                                 np.float32)
+                              for i, s in enumerate(slots)})
+        wba.kf_gamma.append({int(s): np.asarray(data[f"wba_gamma_{k}"][i],
+                                                np.float64)
+                             for i, s in enumerate(slots)})
+
+
 def save_pipeline_state(path: str, pipe) -> None:
     """Persist a VOPipeline's inter-frame state."""
     os.makedirs(path, exist_ok=True)
@@ -58,6 +96,9 @@ def save_pipeline_state(path: str, pipe) -> None:
         "frame_idx": pipe.frame_idx,
         "n_traj": len(pipe.trajectory),
         "has_keyframe": pipe.keyframe is not None,
+        "has_kf_pose_gt": pipe.kf_pose_gt is not None,
+        "has_prev_cam_pose": pipe.prev_cam_pose is not None,
+        "has_wba": pipe.wba is not None,
     }
     arrays = {}
     if pipe.keyframe is not None:
@@ -69,6 +110,14 @@ def save_pipeline_state(path: str, pipe) -> None:
     arrays["kf_pose_est_t"] = np.asarray(pipe.kf_pose_est.t)
     arrays["last_rel_R"] = np.asarray(pipe.last_rel.R)
     arrays["last_rel_t"] = np.asarray(pipe.last_rel.t)
+    if pipe.kf_pose_gt is not None:
+        arrays["kf_pose_gt_R"] = np.asarray(pipe.kf_pose_gt.R)
+        arrays["kf_pose_gt_t"] = np.asarray(pipe.kf_pose_gt.t)
+    if pipe.prev_cam_pose is not None:
+        arrays["prev_cam_pose_R"] = np.asarray(pipe.prev_cam_pose.R)
+        arrays["prev_cam_pose_t"] = np.asarray(pipe.prev_cam_pose.t)
+    if pipe.wba is not None:
+        _wba_to_arrays(pipe.wba, arrays, meta)
     np.savez_compressed(os.path.join(path, "state.npz"), **arrays)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -98,6 +147,14 @@ def restore_pipeline_state(path: str, pipe) -> bool:
                             jnp.asarray(data["kf_pose_est_t"]))
     pipe.last_rel = Pose(jnp.asarray(data["last_rel_R"]),
                          jnp.asarray(data["last_rel_t"]))
+    if meta.get("has_kf_pose_gt"):
+        pipe.kf_pose_gt = Pose(jnp.asarray(data["kf_pose_gt_R"]),
+                               jnp.asarray(data["kf_pose_gt_t"]))
+    if meta.get("has_prev_cam_pose"):
+        pipe.prev_cam_pose = Pose(jnp.asarray(data["prev_cam_pose_R"]),
+                                  jnp.asarray(data["prev_cam_pose_t"]))
     if meta["has_keyframe"]:
         pipe.keyframe = _arrays_to_nt(FrameResult, "kf.", data)
+    if meta.get("has_wba") and pipe.wba is not None:
+        _wba_from_arrays(pipe.wba, data, meta)
     return True

@@ -50,6 +50,19 @@ def test_prefetch_loader_order_and_content(png_pairs):
     loader.close()
 
 
+def test_decode_pgm_with_comments(tmp_path):
+    """PGM headers may carry '#' comment lines between tokens."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (10, 12), dtype=np.uint8)
+    p = str(tmp_path / "c.pgm")
+    with open(p, "wb") as f:
+        f.write(b"P5\n# a comment line\n12 10\n# another\n255\n")
+        f.write(img.tobytes())
+    out = NL.decode_gray(p, 10, 12)
+    assert out is not None
+    np.testing.assert_array_equal(out, img.astype(np.float32))
+
+
 def test_prefetch_loader_skips_bad_files(png_pairs, tmp_path):
     pairs, truths = png_pairs
     bad = str(tmp_path / "missing.png")
