@@ -69,7 +69,44 @@ def _quat_to_R(qw, qx, qy, qz):
         [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
 
 
-def iter_kitti(sequence_path: str, gt_path: str = "") -> Iterator[StereoSample]:
+def _iter_path_pairs(pairs: List[Tuple[str, str]],
+                     metas: List[StereoSample],
+                     image_hw: Optional[Tuple[int, int]] = None,
+                     prefetch: bool = True) -> Iterator[StereoSample]:
+    """Decode (left, right) path pairs into the pre-built StereoSample
+    shells. With `image_hw` and the native loader available, decode runs
+    on background C++ threads ahead of consumption (io/native/loader.cpp)
+    so host I/O overlaps device compute - the reference's
+    producer/consumer split (Stereo_Iterator.cpp:58-80). Falls back to
+    synchronous cv2/PIL decode otherwise. Decode failures skip the frame
+    either way (reference behavior, Stereo_Iterator.cpp:74)."""
+    if prefetch and image_hw is not None:
+        try:
+            from edge_based_visual_odometry_tpu.io import native_loader as NL
+            if NL.native_available():
+                loader = NL.PrefetchLoader(pairs, image_hw[0], image_hw[1])
+                try:
+                    for idx, left, right in loader:
+                        s = metas[idx]
+                        s.left, s.right = left, right
+                        yield s
+                finally:
+                    loader.close()
+                return
+        except Exception:
+            pass   # fall through to synchronous decode
+    for (lp, rp), s in zip(pairs, metas):
+        left = _imread_gray(lp)
+        right = _imread_gray(rp)
+        if left is None or right is None:
+            continue
+        s.left, s.right = left, right
+        yield s
+
+
+def iter_kitti(sequence_path: str, gt_path: str = "",
+               image_hw: Optional[Tuple[int, int]] = None,
+               prefetch: bool = True) -> Iterator[StereoSample]:
     """KITTI odometry grayscale pairs (ref :84-184)."""
     left_dir = os.path.join(sequence_path, "image_0")
     n = len([f for f in os.listdir(left_dir) if f.endswith(".png")])
@@ -77,13 +114,12 @@ def iter_kitti(sequence_path: str, gt_path: str = "") -> Iterator[StereoSample]:
     if gt_path and os.path.exists(gt_path):
         with open(gt_path) as f:
             gt_lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    pairs, metas = [], []
     for i in range(n):
         fn = f"{i:06d}.png"
-        left = _imread_gray(os.path.join(sequence_path, "image_0", fn))
-        right = _imread_gray(os.path.join(sequence_path, "image_1", fn))
-        if left is None or right is None:
-            continue
-        s = StereoSample(left=left, right=right, timestamp=float(i))
+        pairs.append((os.path.join(sequence_path, "image_0", fn),
+                      os.path.join(sequence_path, "image_1", fn)))
+        s = StereoSample(left=None, right=None, timestamp=float(i))
         if i < len(gt_lines):
             v = [float(x) for x in gt_lines[i].split()]
             if len(v) >= 12:
@@ -91,7 +127,8 @@ def iter_kitti(sequence_path: str, gt_path: str = "") -> Iterator[StereoSample]:
                                    [v[4], v[5], v[6]],
                                    [v[8], v[9], v[10]]])
                 s.gt_t = np.array([v[3], v[7], v[11]])
-        yield s
+        metas.append(s)
+    return _iter_path_pairs(pairs, metas, image_hw, prefetch)
 
 
 def _load_euroc_gt(gt_csv: str, R_f2b: np.ndarray, t_f2b: np.ndarray):
@@ -134,7 +171,9 @@ def _nearest_pose(poses, ts: float):
 
 
 def iter_euroc(seq_path: str, R_frame2body: Optional[np.ndarray] = None,
-               t_frame2body: Optional[np.ndarray] = None) -> Iterator[StereoSample]:
+               t_frame2body: Optional[np.ndarray] = None,
+               image_hw: Optional[Tuple[int, int]] = None,
+               prefetch: bool = True) -> Iterator[StereoSample]:
     """EuRoC MAV format with GT alignment (ref :18-78, :633-665)."""
     base = os.path.join(seq_path, "mav0")
     csv_path = os.path.join(base, "cam0", "data.csv")
@@ -143,6 +182,7 @@ def iter_euroc(seq_path: str, R_frame2body: Optional[np.ndarray] = None,
     t_f2b = np.zeros(3) if t_frame2body is None else np.asarray(t_frame2body)
     poses = _load_euroc_gt(gt_csv, R_f2b, t_f2b) if os.path.exists(gt_csv) else []
 
+    pairs, metas = [], []
     with open(csv_path) as f:
         reader = csv.reader(f)
         next(reader, None)
@@ -150,15 +190,14 @@ def iter_euroc(seq_path: str, R_frame2body: Optional[np.ndarray] = None,
             if not row:
                 continue
             ts_str = row[0].strip()
-            left = _imread_gray(os.path.join(base, "cam0", "data", ts_str + ".png"))
-            right = _imread_gray(os.path.join(base, "cam1", "data", ts_str + ".png"))
-            if left is None or right is None:
-                continue
-            s = StereoSample(left=left, right=right, timestamp=float(ts_str))
+            pairs.append((os.path.join(base, "cam0", "data", ts_str + ".png"),
+                          os.path.join(base, "cam1", "data", ts_str + ".png")))
+            s = StereoSample(left=None, right=None, timestamp=float(ts_str))
             p = _nearest_pose(poses, float(ts_str))
             if p is not None:
                 s.gt_R, s.gt_t = p[1], p[2]
-            yield s
+            metas.append(s)
+    return _iter_path_pairs(pairs, metas, image_hw, prefetch)
 
 
 def iter_eth3d_stereo(seq_path: str) -> Iterator[StereoSample]:
@@ -201,7 +240,9 @@ def iter_eth3d_stereo(seq_path: str) -> Iterator[StereoSample]:
         yield s
 
 
-def iter_eth3d_slam(seq_path: str) -> Iterator[StereoSample]:
+def iter_eth3d_slam(seq_path: str,
+                    image_hw: Optional[Tuple[int, int]] = None,
+                    prefetch: bool = True) -> Iterator[StereoSample]:
     """ETH3D SLAM format: rgb.txt lists the RIGHT camera (rgb/), rgb2/ is
     the LEFT camera (ref :441-443); TUM groundtruth.txt aligned by nearest
     timestamp (ref :353-420)."""
@@ -225,35 +266,42 @@ def iter_eth3d_slam(seq_path: str) -> Iterator[StereoSample]:
                     R = _quat_to_R(tok[7], tok[4], tok[5], tok[6])
                     poses.append((tok[0], R, np.array(tok[1:4])))
         poses.sort(key=lambda p: p[0])
+    pairs, metas = [], []
     for ts, filename in image_list:
-        right = _imread_gray(os.path.join(seq_path, filename))
-        left = _imread_gray(os.path.join(seq_path, "rgb2", filename[4:]))
-        if left is None or right is None:
-            continue
-        s = StereoSample(left=left, right=right, timestamp=ts)
+        pairs.append((os.path.join(seq_path, "rgb2", filename[4:]),
+                      os.path.join(seq_path, filename)))
+        s = StereoSample(left=None, right=None, timestamp=ts)
         p = _nearest_pose(poses, ts)
         if p is not None:
             s.gt_R, s.gt_t = p[1], p[2]
-        yield s
+        metas.append(s)
+    return _iter_path_pairs(pairs, metas, image_hw, prefetch)
 
 
 def make_iterator(dataset_type: str, dataset_dir: str, sequence_name: str,
                   gt_file_path: str = "",
                   R_frame2body: Optional[np.ndarray] = None,
-                  t_frame2body: Optional[np.ndarray] = None
-                  ) -> Iterator[StereoSample]:
-    """Factory mirroring Dataset::load_dataset (src/Dataset.cpp:158-206)."""
+                  t_frame2body: Optional[np.ndarray] = None,
+                  image_hw: Optional[Tuple[int, int]] = None,
+                  prefetch: bool = True) -> Iterator[StereoSample]:
+    """Factory mirroring Dataset::load_dataset (src/Dataset.cpp:158-206).
+
+    `image_hw`: (height, width) of the rig's images; enables the native
+    prefetching decoder (background C++ threads) for the PNG-pair formats
+    when the shared library builds. `prefetch=False` forces synchronous
+    decode. ETH3D_stereo always decodes synchronously (PFM disparities +
+    masks accompany each pair)."""
     seq = os.path.join(dataset_dir, sequence_name)
     if dataset_type == "KITTI":
         gt_file = ""
         if gt_file_path:
             seq_id = sequence_name.rsplit("/", 1)[-1]
             gt_file = os.path.join(dataset_dir, gt_file_path, seq_id + ".txt")
-        return iter_kitti(seq, gt_file)
+        return iter_kitti(seq, gt_file, image_hw, prefetch)
     if dataset_type == "EuRoC":
-        return iter_euroc(seq, R_frame2body, t_frame2body)
+        return iter_euroc(seq, R_frame2body, t_frame2body, image_hw, prefetch)
     if dataset_type == "ETH3D_stereo":
         return iter_eth3d_stereo(seq)
     if dataset_type == "ETH3D_slam":
-        return iter_eth3d_slam(seq)
+        return iter_eth3d_slam(seq, image_hw, prefetch)
     raise ValueError(f"unknown dataset_type {dataset_type!r}")

@@ -189,6 +189,7 @@ class VOPipeline:
             self.wba = WindowBA(self.rig.left.K,
                                 WindowBAConfig(window=self.ba_window))
         self.keyframe: Optional[FrameResult] = None
+        self.kf_index = 0                                # frame index of the KF
         self.kf_pose_gt: Optional[geom.Pose] = None      # world->cam GT
         self.kf_pose_est = geom.Pose.identity()          # world->cam estimate
         self.trajectory = []                             # per-frame (R, t) world->cam
@@ -288,4 +289,5 @@ class VOPipeline:
 
     def _set_keyframe(self, fr: FrameResult, gt_pose: Optional[geom.Pose]):
         self.keyframe = fr
+        self.kf_index = self.frame_idx
         self.kf_pose_gt = gt_pose

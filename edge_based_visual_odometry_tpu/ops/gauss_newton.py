@@ -33,6 +33,7 @@ class RefineResult(NamedTuple):
     score: jnp.ndarray       # final RMS residual
     confidence: jnp.ndarray  # exp(-rms / huber)
     valid: jnp.ndarray       # bool: converged after iter 0 and rms within 2*huber
+    iters: jnp.ndarray = None  # per-lane iterations to convergence (diagnostic)
 
 
 def _centered_left_patches(img, x, y, theta, patch_size):
@@ -266,7 +267,7 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
         tiles, ox, oy = TS.fetch_atlas_tiles(right_atlas, rx_c, ry_c)
 
         def body(carry):
-            alpha, done, score, conf, valid, it = carry
+            alpha, done, score, conf, valid, conv, it = carry
             shift = alpha[:, None] * dir_c
             rc = _rotated_two_side_coords(rx_c + shift[:, 0],
                                           ry_c + shift[:, 1],
@@ -297,15 +298,17 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
             conf = jnp.where(finish, jnp.exp(-rms / huber_delta), conf)
             valid = jnp.where(finish, ~is_outlier, valid)
             alpha = jnp.where(done | degenerate, alpha, new_alpha)
+            conv = jnp.where(done, conv, it + 1)
             done = done | converged | degenerate
-            return (alpha, done, score, conf, valid, it + 1)
+            return (alpha, done, score, conf, valid, conv, it + 1)
 
         b = lx_c.shape[0]
         init = (jnp.zeros(b), ~act_c, jnp.full(b, 1e6),
-                jnp.zeros(b), jnp.zeros(b, bool), jnp.int32(0))
+                jnp.zeros(b), jnp.zeros(b, bool), jnp.zeros(b, jnp.int32),
+                jnp.int32(0))
         out = jax.lax.while_loop(
-            lambda c: (c[5] < max_iter) & jnp.any(~c[1]), body, init)
-        return RefineResult(out[0], out[2], out[3], out[4])
+            lambda c: (c[6] < max_iter) & jnp.any(~c[1]), body, init)
+        return RefineResult(out[0], out[2], out[3], out[4], out[5])
 
     return TS.map_chunked(run_chunk,
                           (lx, ly, ltheta, rx, ry, epi_dir, active),
@@ -351,7 +354,7 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
         reg = 1e-6 * n_samples
 
         def body(carry):
-            d, done, score, conf, valid, it = carry
+            d, done, score, conf, valid, conv, it = carry
             loc = kf_loc - d
             rc = _rotated_two_side_coords(loc[:, 0], loc[:, 1], ct_c, n_cf,
                                           side, patch_size)
@@ -383,15 +386,17 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
             conf = jnp.where(finish, jnp.exp(-rms / huber_delta), conf)
             valid = jnp.where(finish, ~is_outlier, valid)
             d = jnp.where(done[:, None], d, new_d)
+            conv = jnp.where(done, conv, it + 1)
             done = done | converged
-            return (d, done, score, conf, valid, it + 1)
+            return (d, done, score, conf, valid, conv, it + 1)
 
         b = kx_c.shape[0]
         init = (d0, ~act_c, jnp.full(b, 1e6),
-                jnp.zeros(b), jnp.zeros(b, bool), jnp.int32(0))
+                jnp.zeros(b), jnp.zeros(b, bool), jnp.zeros(b, jnp.int32),
+                jnp.int32(0))
         out = jax.lax.while_loop(
-            lambda c: (c[5] < max_iter) & jnp.any(~c[1]), body, init)
-        return RefineResult(out[0], out[2], out[3], out[4])
+            lambda c: (c[6] < max_iter) & jnp.any(~c[1]), body, init)
+        return RefineResult(out[0], out[2], out[3], out[4], out[5])
 
     return TS.map_chunked(run_chunk,
                           (kx, ky, ktheta, cx, cy, ctheta, active),

@@ -48,7 +48,7 @@ def gather_tiles(imgs: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
 
 
 def bilinear_sample_tiles(tiles: jnp.ndarray, ox, oy, xs, ys,
-                          precision=jax.lax.Precision.HIGHEST):
+                          precision=jax.lax.Precision.HIGH):
     """Bilinear-sample (B, C, T, T) tiles at absolute coords (B, S).
 
     Returns (B, C, S). Coordinates are clamped to the tile interior.

@@ -41,6 +41,14 @@ def main(argv=None):
     ap.add_argument("--output_dir", default=None,
                     help="override output_dir from the YAML")
     ap.add_argument("--max_edges", type=int, default=None)
+    ap.add_argument("--no_prefetch", action="store_true",
+                    help="disable the native background decode threads")
+    ap.add_argument("--dump_stereo_pairs", action="store_true",
+                    help="write finalized_stereo_edge_pairs_frame_N.txt per "
+                         "frame (reference Stereo_Matches.cpp:1656-1699)")
+    ap.add_argument("--dump_quads", action="store_true",
+                    help="write quads_frame_N.txt per re-keyframing frame "
+                         "(reference Temporal_Matches.cpp:1066-1112)")
     args = ap.parse_args(argv)
 
     with open(args.config_file) as f:
@@ -79,11 +87,18 @@ def main(argv=None):
         dataset_type, cfg_yaml["dataset_dir"], cfg_yaml["sequence_name"],
         cfg_yaml.get("gt_file_path", ""),
         np.asarray(rig.rot_frame2body) if rig.rot_frame2body else None,
-        np.asarray(rig.transl_frame2body) if rig.transl_frame2body else None)
+        np.asarray(rig.transl_frame2body) if rig.transl_frame2body else None,
+        image_hw=(rig.left.height, rig.left.width),
+        prefetch=not args.no_prefetch)
 
     pipe = PL.VOPipeline(rig=rig, cfg=vo_cfg,
                          has_gt_disparity=has_gt_disparity,
                          use_gt_pose=args.use_gt_pose)
+    rig_arrays = None
+    if args.dump_stereo_pairs or args.dump_quads:
+        from edge_based_visual_odometry_tpu.models.types import RigArrays
+        from edge_based_visual_odometry_tpu.utils import debug_io as DIO
+        rig_arrays = RigArrays.from_rig(rig)
 
     gt_traj = []
     t0 = time.time()
@@ -97,10 +112,21 @@ def main(argv=None):
             gt_pose = Pose(jnp.asarray(R_wc, jnp.float32),
                            jnp.asarray(t_wc, jnp.float32))
             gt_traj.append(gt_pose)
+        kf_before = pipe.keyframe   # quads in tr reference THIS keyframe
+        kf_idx_before = pipe.kf_index
         fr, tr = pipe.run_frame(sample.left, sample.right,
                                 disparity=sample.left_disparity,
                                 gt_pose=gt_pose,
                                 occlusion=sample.left_occlusion)
+        if args.dump_stereo_pairs:
+            DIO.write_finalized_stereo_pairs(
+                os.path.join(out_dir,
+                             f"finalized_stereo_edge_pairs_frame_{n}.txt"),
+                fr.mates, rig_arrays)
+        if args.dump_quads and tr is not None and kf_before is not None:
+            DIO.write_quads(os.path.join(out_dir, f"quads_frame_{n}.txt"),
+                            kf_before.mates, tr.quads,
+                            kf_idx=kf_idx_before, cf_idx=n)
         n += 1
         msg = (f"frame {n - 1}: edges L/R = {int(fr.n_left_edges)}/"
                f"{int(fr.n_right_edges)}, mates = {int(fr.mates.count)}")

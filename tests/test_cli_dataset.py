@@ -93,3 +93,35 @@ def test_main_vo_cli_end_to_end(kitti_dir):
     m = json.load(open(metrics_path))
     assert m["frames"] == 3
     assert m["ate_rmse"] < 0.2
+
+
+def test_main_vo_cli_dump_files(kitti_dir):
+    """--dump_stereo_pairs/--dump_quads write the reference's per-frame
+    file formats (Stereo_Matches.cpp:1656-1699, Temporal_Matches.cpp:
+    1066-1112) from the production loop."""
+    root, cfg_path, seq = kitti_dir
+    out_dir = str(root / "out_dump")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "main_vo.py"),
+         "-c", str(cfg_path), "--max_frames", "2", "--max_edges", "1024",
+         "--output_dir", out_dir,
+         "--dump_stereo_pairs", "--dump_quads"],
+        capture_output=True, text=True, timeout=1500, env=env)
+    assert out.returncode == 0, out.stderr[-3000:]
+    for k in range(2):
+        p = os.path.join(out_dir,
+                         f"finalized_stereo_edge_pairs_frame_{k}.txt")
+        assert os.path.exists(p)
+        lines = open(p).read().splitlines()
+        assert len(lines) > 1          # header + >=1 pair
+        assert len(lines[1].split()) == 16
+    q = os.path.join(out_dir, "quads_frame_1.txt")
+    assert os.path.exists(q)
+    qlines = open(q).read().splitlines()
+    assert qlines[0].startswith("# keyframe 0")
+    assert len(qlines) > 2
+    assert len(qlines[2].split(",")) == 8

@@ -71,3 +71,31 @@ def test_prefetch_loader_skips_bad_files(png_pairs, tmp_path):
     seen = [idx for idx, _, _ in loader]
     assert seen == [0, 2]
     loader.close()
+
+
+def test_make_iterator_prefetch_matches_sync(tmp_path):
+    """KITTI iterator through the native prefetcher yields the same frames
+    (and GT) as the synchronous decode path."""
+    from PIL import Image
+
+    from edge_based_visual_odometry_tpu.io import datasets
+
+    seq = tmp_path / "seq" / "00"
+    (seq / "image_0").mkdir(parents=True)
+    (seq / "image_1").mkdir(parents=True)
+    rng = np.random.default_rng(11)
+    for k in range(4):
+        for cam in ("image_0", "image_1"):
+            img = rng.integers(0, 255, (32, 40), dtype=np.uint8)
+            Image.fromarray(img).save(str(seq / cam / f"{k:06d}.png"))
+    kw = dict(dataset_type="KITTI", dataset_dir=str(tmp_path),
+              sequence_name="seq/00")
+    sync = list(datasets.make_iterator(**kw, image_hw=(32, 40),
+                                       prefetch=False))
+    pre = list(datasets.make_iterator(**kw, image_hw=(32, 40),
+                                      prefetch=True))
+    assert len(sync) == len(pre) == 4
+    for a, b in zip(sync, pre):
+        np.testing.assert_array_equal(a.left, b.left)
+        np.testing.assert_array_equal(a.right, b.right)
+        assert a.timestamp == b.timestamp
