@@ -22,14 +22,29 @@ class VOConfig:
     These are Python-level constants: they are closed over by jitted
     functions, so changing any field triggers a recompile (intended - the
     reference requires a rebuild for the same change).
+
+    Reference defines deliberately NOT mirrored here (a field that is
+    consumed nowhere would be worse than no field):
+      EPIP_TENGENCY_{ORIENT,PROXIM}_THRESH, EDGE_CLUSTER_THRESH - defined
+        in definitions.h but never referenced by the reference itself.
+      LOWES_RATIO - passed to apply_Lowe_Ratio_Test, whose body keeps the
+        single best candidate unconditionally and never reads the ratio
+        (Stereo_Matches.cpp:1513 + function body); our Best stage matches.
+      GRID_SIZE - the reference's square-cell SpatialGrid; our scatter-free
+        sorted grid (ops/grid.py) uses y-bands + exact x ranges, so there
+        is no square-cell size (band_h is its analog, an explicit arg).
+      RANSAC min_iterations / success_prob - drive the reference's
+        adaptive sequential termination (MotionTracker.cpp:196-248); the
+        batched fixed-iteration RANSAC scores all hypotheses in parallel
+        (documented deviation, see README).
+      The veridical search radius (Temporal_Matches.cpp:68) - a gather
+        superset; our veridical gather uses the exact <2 px gates directly
+        with a sufficient radius, equivalent by construction.
     """
 
     # --- Stereo edge matching (definitions.h:17-36) ---
     epipolar_line_dist_thresh: float = 0.5     # px (EPIPOLAR_LINE_DIST_THRESH)
-    epip_tangency_orient_thresh: float = 12.0  # deg (EPIP_TENGENCY_ORIENT_THRESH)
-    epip_tangency_proxim_thresh: float = 4.0   # px (EPIP_TENGENCY_PROXIM_THRESH)
     max_disparity: float = 25.0                # px (MAX_DISPARITY)
-    edge_cluster_thresh: float = 0.3           # px (EDGE_CLUSTER_THRESH)
     orthogonal_shift_mag: float = 5.0          # px (ORTHOGONAL_SHIFT_MAG)
     patch_size: int = 7                        # px (PATCH_SIZE)
     ncc_thresh: float = 0.6                    # (NCC_THRESH)
@@ -43,16 +58,12 @@ class VOConfig:
     bnb_sift: float = 0.4                      # (BNB_SIFT)
     bnb_ncc: float = 0.9                       # (BNB_NCC)
     huber_delta: float = 1.0                   # (HUBER_DELTA)
-    lowes_ratio: float = 0.8                   # (LOWES_RATIO)
     sift_threshold: float = 500.0              # (SIFT_THRESHOLD) descriptor gate, stereo
     orientation_thresh_deg: float = 10.0       # stereo orientation filter arg (Stereo_Matches.cpp:1399)
 
     # --- Precision/recall eval (definitions.h:42-43) ---
     dist_to_gt_thresh: float = 1.0             # px (DIST_TO_GT_THRESH)
     dist_to_gt_thresh_quads: float = 2.0       # px (DIST_TO_GT_THRESH_QUADS)
-
-    # --- Spatial grid (definitions.h:45) ---
-    grid_size: int = 15                        # px cell (GRID_SIZE)
 
     # --- RANSAC constraint gates (definitions.h:47-50) ---
     tau_c1: float = 0.13
@@ -62,8 +73,6 @@ class VOConfig:
 
     # --- RANSAC options (reference include/MotionTracker.h:37-62) ---
     ransac_max_iterations: int = 5000
-    ransac_min_iterations: int = 100
-    ransac_success_prob: float = 0.9999
     ransac_max_reproj_error: float = 1.5       # px
     ransac_top_rank_percentage: float = 0.7
     ransac_seed: int = 42
@@ -85,7 +94,6 @@ class VOConfig:
     temporal_bnb_ratio: float = 0.8            # (Temporal_Matches.cpp:201,205)
     temporal_huber_delta: float = 3.0          # (Temporal_Matches.cpp:612)
     veridical_orient_thresh_deg: float = 10.0  # (Temporal_Matches.cpp:67)
-    veridical_search_radius: float = 20.0      # = 15+2+3 (Temporal_Matches.cpp:68)
     sift_shift_mag: float = 8.0                # descriptor keypoint shift (Stereo_Matches.cpp:669)
 
     # --- Gauss-Newton photometric refinement (Stereo_Matches.cpp:1159-1288) ---

@@ -149,9 +149,12 @@ class VOPipeline:
     rekeyframe_min_inlier_ratio: float = 0.4
     rekeyframe_min_quads: int = 50
     # sliding-window BA (new capability; models/window_ba.py). 0 = off;
-    # >= 2 sets the window length in keyframes. Requires the 'every_frame'
-    # keyframe policy (track chaining assumes KF index == frame index).
+    # >= 2 sets the window length in keyframes. Requires a re-keyframing
+    # policy ('every_frame' or 'adaptive').
     ba_window: int = 0
+    # optional jax.sharding.Mesh: shards the BA landmark/observation axes
+    # over the mesh (parallel/mesh.py docstring); None = single device
+    ba_mesh: object = None
 
     def __post_init__(self):
         has_dist = (any(abs(d) > 0 for d in self.rig.left.distortion[:4])
@@ -187,7 +190,8 @@ class VOPipeline:
             from edge_based_visual_odometry_tpu.models.window_ba import (
                 WindowBA, WindowBAConfig)
             self.wba = WindowBA(self.rig.left.K,
-                                WindowBAConfig(window=self.ba_window))
+                                WindowBAConfig(window=self.ba_window),
+                                mesh=self.ba_mesh)
         self.keyframe: Optional[FrameResult] = None
         self.kf_index = 0                                # frame index of the KF
         self.kf_pose_gt: Optional[geom.Pose] = None      # world->cam GT

@@ -511,7 +511,8 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
                           dist_thresh=cfg.cluster_dist_thresh,
                           orient_thresh_deg=cfg.cluster_orient_thresh,
                           by_orientation=False,
-                          gauss_sigma=cfg.cluster_orient_gauss_sigma)
+                          gauss_sigma=cfg.cluster_orient_gauss_sigma,
+                          max_cluster_size=cfg.max_cluster_size)
     state = state._replace(cx=jnp.where(cl.mask, cl.x, state.cx),
                            cy=jnp.where(cl.mask, cl.y, state.cy),
                            ctheta=jnp.where(cl.mask, cl.theta, state.ctheta),

@@ -192,9 +192,17 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
 
     metrics = []
 
+    def _count_row(mask):
+        """Production-mode stage diagnostics: [rows with >=1 candidate,
+        total candidates, 0, 0] - mirrors the stereo cascade, makes
+        silent quad-cascade collapse visible without GT."""
+        return jnp.stack([jnp.sum(jnp.any(mask, 1)).astype(jnp.float32),
+                          jnp.sum(mask).astype(jnp.float32),
+                          jnp.float32(0.0), jnp.float32(0.0)])
+
     def record_raw(mask):
         if not use_gt:
-            metrics.append(jnp.zeros((4,), jnp.float32))
+            metrics.append(_count_row(mask))
             return
         tmp = TemporalQuads(
             row_mask=row_mask, proj_left=pl, proj_right=pr,
@@ -231,7 +239,7 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
 
     def record(qq):
         metrics.append(_quad_metrics(qq, kf.is_tp, cfg.dist_to_gt_thresh_quads)
-                       if use_gt else jnp.zeros((4,), jnp.float32))
+                       if use_gt else _count_row(qq.cmask))
 
     # ---- NCC both sides from stored patches (ref :416-469) ----
     def side_ncc(kf_patches, kf_ok, cf_patches, cf_ok):
@@ -312,7 +320,8 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
                           dist_thresh=cfg.cluster_dist_thresh,
                           orient_thresh_deg=cfg.cluster_orient_thresh,
                           by_orientation=True,
-                          gauss_sigma=cfg.cluster_orient_gauss_sigma)
+                          gauss_sigma=cfg.cluster_orient_gauss_sigma,
+                          max_cluster_size=cfg.max_cluster_size)
     Mw = cl.members.astype(jnp.float32)
     cnt = jnp.maximum(jnp.sum(Mw, -1), 1.0)
     avg_rx = jnp.einsum("mrj,mj->mr", Mw, q.rcx) / cnt

@@ -41,10 +41,19 @@ class WindowBAConfig:
 
 
 class WindowBA:
-    """Accumulates keyframe poses + landmark tracks; runs windowed BA."""
+    """Accumulates keyframe poses + landmark tracks; runs windowed BA.
 
-    def __init__(self, K_cam: np.ndarray, cfg: WindowBAConfig = WindowBAConfig()):
+    `mesh`: optional jax.sharding.Mesh. When set, the solve shards the
+    landmark and observation axes over the mesh's first axis (poses and
+    intrinsics replicated); XLA inserts the Schur-complement AllReduces
+    over ICI. max_landmarks / max_obs are static, so the sharded program
+    caches across frames exactly like the single-device one.
+    """
+
+    def __init__(self, K_cam: np.ndarray, cfg: WindowBAConfig = WindowBAConfig(),
+                 mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.K_cam = np.asarray(K_cam, np.float32)
         self._next_track = 0
         # per-keyframe: pose (world->cam) + {mate_slot: track_id} + mate uv
@@ -193,6 +202,22 @@ class WindowBA:
             X_prior=jnp.asarray(X_pad, jnp.float32),
             prior_w=jnp.float32(self.cfg.prior_weight),
             obs_n=jnp.asarray(n_pad))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = self.mesh.axis_names[0]
+            shard = NamedSharding(self.mesh, P(axis))
+            repl = NamedSharding(self.mesh, P())
+            prob = prob._replace(
+                X=jax.device_put(prob.X, shard),
+                X_prior=jax.device_put(prob.X_prior, shard),
+                obs_kf=jax.device_put(prob.obs_kf, shard),
+                obs_lm=jax.device_put(prob.obs_lm, shard),
+                obs_uv=jax.device_put(prob.obs_uv, shard),
+                obs_w=jax.device_put(prob.obs_w, shard),
+                obs_n=jax.device_put(prob.obs_n, shard),
+                R=jax.device_put(prob.R, repl),
+                t=jax.device_put(prob.t, repl),
+                K_cam=jax.device_put(prob.K_cam, repl))
         if not hasattr(self, "_solver"):
             self._solver = jax.jit(lambda p: BA.run_ba(
                 p, n_iters=self.cfg.n_iters, damping=self.cfg.damping,

@@ -41,11 +41,20 @@ def cluster_edges(x, y, theta, mask,
                   dist_thresh: float = 1.0,
                   orient_thresh_deg: float = 20.0,
                   by_orientation: bool = True,
-                  gauss_sigma: float = 2.0) -> ClusterResult:
+                  gauss_sigma: float = 2.0,
+                  max_cluster_size: int = 0) -> ClusterResult:
     """Cluster the last-axis candidate sets of (..., C) edge arrays.
 
     Orientation gate mirrors EdgeClusterer.cpp:156: raw radian difference
     |t_i - t_j| < deg2rad(thresh), no wrap (as in the reference).
+
+    `max_cluster_size` > 0 enforces the reference's MAX_CLUSTER_SIZE cap
+    (EdgeClusterer.cpp:179: a merge that would exceed the cap is refused,
+    leaving separate hypotheses). The greedy merge order is inherently
+    sequential; the vectorized equivalent keeps the `cap` members nearest
+    the component centroid (the reference's nearest-first merge accretes
+    around the dense core) and reverts the rest to singleton clusters.
+    0 disables the cap (pure connected components).
     """
     C = x.shape[-1]
     dx = x[..., :, None] - x[..., None, :]
@@ -71,8 +80,40 @@ def cluster_edges(x, y, theta, mask,
     labels = jax.lax.fori_loop(0, C, body, labels)
     labels = jnp.where(mask, labels, C)
 
-    # Membership matrix: M[r, j] = (labels[j] == r) & mask[j]
     slot = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    slot_j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+
+    if max_cluster_size and max_cluster_size < C:
+        # rank members by distance to their component's centroid; members
+        # ranked >= cap become singletons (see docstring)
+        M0 = (labels[..., None, :] == slot) & mask[..., None, :]
+        cnt0 = jnp.maximum(jnp.sum(M0, axis=-1).astype(x.dtype), 1.0)
+        cx0 = jnp.einsum("...rj,...j->...r", M0.astype(x.dtype), x) / cnt0
+        cy0 = jnp.einsum("...rj,...j->...r", M0.astype(x.dtype), y) / cnt0
+        ddx0 = x[..., None, :] - cx0[..., :, None]
+        ddy0 = y[..., None, :] - cy0[..., :, None]
+        dc = jnp.sqrt(ddx0 * ddx0 + ddy0 * ddy0)        # (..., r, j)
+        # rank[r, j] = #{k in component r : (dc[r,k], k) < (dc[r,j], j)}
+        A = dc[..., :, :, None]                          # (..., r, k, 1)
+        B = dc[..., :, None, :]                          # (..., r, 1, j)
+        k_lt_j = slot < slot_j                           # (k, j) index order
+        closer = (A < B) | ((A == B) & k_lt_j)           # (..., r, k, j)
+        in_comp = M0[..., :, :, None]                    # k in component r
+        rank = jnp.sum(closer & in_comp, axis=-2)        # (..., r, j)
+        my_rank = jnp.sum(jnp.where(M0, rank, 0), axis=-2)   # (..., j)
+        kept = my_rank < max_cluster_size
+        # relabel: kept members take the min KEPT index of their component
+        # (the old min member may have been reverted to a singleton, and
+        # singletons label as their own index - labels must not collide)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        same = labels[..., :, None] == labels[..., None, :]   # (j, k)
+        cand = jnp.where(same & kept[..., None, :] & mask[..., None, :],
+                         iota_j[..., None, :], C)
+        core_lab = jnp.min(cand, axis=-1)
+        labels = jnp.where(mask & kept, core_lab,
+                           jnp.where(mask, iota_j, labels))
+
+    # Membership matrix: M[r, j] = (labels[j] == r) & mask[j]
     M = (labels[..., None, :] == slot) & mask[..., None, :]
 
     # Gaussian-weighted representative per component

@@ -272,8 +272,9 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
             rc = _rotated_two_side_coords(rx_c + shift[:, 0],
                                           ry_c + shift[:, 1],
                                           lt_c, n, side, patch_size)
-            vals = TS.bilinear_sample_tiles(tiles, ox, oy,
-                                            rc[..., 0], rc[..., 1])
+            vals = TS.bilinear_sample_tiles(
+                tiles, ox, oy, rc[..., 0], rc[..., 1],
+                grad_precision=jax.lax.Precision.DEFAULT)
             rv = vals[:, 0]
             gx = vals[:, 1]
             gy = vals[:, 2]
@@ -358,8 +359,9 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
             loc = kf_loc - d
             rc = _rotated_two_side_coords(loc[:, 0], loc[:, 1], ct_c, n_cf,
                                           side, patch_size)
-            vals = TS.bilinear_sample_tiles(tiles, ox, oy,
-                                            rc[..., 0], rc[..., 1])
+            vals = TS.bilinear_sample_tiles(
+                tiles, ox, oy, rc[..., 0], rc[..., 1],
+                grad_precision=jax.lax.Precision.DEFAULT)
             rv, gx, gy = vals[:, 0], vals[:, 1], vals[:, 2]
             rvp = rv[:, :pp] - jnp.mean(rv[:, :pp], -1, keepdims=True)
             rvm = rv[:, pp:] - jnp.mean(rv[:, pp:], -1, keepdims=True)

@@ -98,3 +98,28 @@ def test_cluster_representative_gaussian_average():
     np.testing.assert_allclose(float(np.asarray(res.theta)[0, 0]), 0.15, atol=1e-5)
     # singleton cluster keeps its own values
     np.testing.assert_allclose(float(np.asarray(res.x)[0, 2]), 20.0, atol=1e-5)
+
+
+def test_max_cluster_size_cap():
+    """MAX_CLUSTER_SIZE semantics (EdgeClusterer.cpp:179): an overgrown
+    component keeps only `cap` members nearest its centroid; the rest
+    revert to singleton clusters (separate hypotheses, not dropped)."""
+    import jax.numpy as jnp
+
+    # 6 collinear edges 0.5 px apart: one component without a cap
+    x = jnp.asarray([[0.0, 0.5, 1.0, 1.5, 2.0, 2.5]])
+    y = jnp.zeros((1, 6))
+    th = jnp.zeros((1, 6))
+    mask = jnp.ones((1, 6), bool)
+    uncapped = CL.cluster_edges(x, y, th, mask, dist_thresh=0.75,
+                                by_orientation=False)
+    assert int(np.asarray(uncapped.mask).sum()) == 1
+    capped = CL.cluster_edges(x, y, th, mask, dist_thresh=0.75,
+                              by_orientation=False, max_cluster_size=4)
+    m = np.asarray(capped.mask)[0]
+    lab = np.asarray(capped.label)[0]
+    # core of 4 + 2 singletons = 3 clusters, all 6 members still labeled
+    assert int(m.sum()) == 3
+    assert (lab < 6).all()
+    sizes = sorted(s for s in np.bincount(lab).tolist() if s)
+    assert sizes == [1, 1, 4]
