@@ -10,12 +10,15 @@ both images, the 11-stage stereo cascade, temporal quad matching against a
 keyframe, and RANSAC pose. No GT supervision (production path).
 
 Baseline: the reference publishes no numbers (BASELINE.md), so the
-baseline is measured on this host: benchmarks/ref_toed_baseline.cpp
-reproduces the reference's TOED cost structure (per-pixel quadruple tap
-loops, double precision, OpenMP) and we take 2x its per-image time as the
-reference's per-frame floor (TOED on both images is "the single most
-expensive stage per frame", SURVEY.md §3.2; the real reference frame also
-pays the matching cascade, so the reported speedup is an UNDERestimate).
+baseline is measured on this host by building and running the ACTUAL
+reference binary (benchmarks/ref_build/build_reference.sh) on a
+KITTI-resolution synthetic fixture: 209.4 s per production stereo frame
+(2-frame minus 1-frame wall time; see BASELINE.md "measured whole-frame"
+section). That frame does strictly LESS work than ours (the reference's
+temporal stage degenerates without GT), so the reported speedup is an
+UNDERestimate. Cached in benchmarks/ref_whole_frame_376x1241_secs.txt;
+if absent, falls back to the TOED-only floor from
+benchmarks/ref_toed_baseline.cpp (a further underestimate).
 """
 
 import json
@@ -25,6 +28,16 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def whole_frame_baseline(h: int, w: int):
+    """Seconds per frame of the actual reference binary at (h, w), if
+    measured on this host (benchmarks/ref_build/, BASELINE.md)."""
+    cache = os.path.join(REPO, "benchmarks",
+                         f"ref_whole_frame_{h}x{w}_secs.txt")
+    if os.path.exists(cache):
+        return float(open(cache).read().split()[0])
+    return None
 
 
 def measure_cpu_baseline(h: int, w: int) -> float:
@@ -77,18 +90,31 @@ def main():
     tr = jax.block_until_ready(temporal_step(
         kf.mates, kf.frame, cf.mates, cf.frame, I, z, jnp.int32(42)))
 
-    # timed loop: one full frame = stereo step + temporal/pose vs keyframe
+    left2 = jnp.asarray(seq.frames[2].left)
+    right2 = jnp.asarray(seq.frames[2].right)
+    jax.block_until_ready(stereo_step(left2, right2))
+
+    # timed loop: one full frame = stereo step + temporal/pose vs keyframe.
+    # Content alternates between two distinct rendered frames so
+    # content-dependent cliffs (edge counts, gather-slot pressure) are
+    # inside the measurement, not hidden by repeating one pair.
+    pairs = [(left1, right1), (left2, right2)]
     t0 = time.perf_counter()
     for k in range(n_frames):
-        cf = stereo_step(left1, right1)
+        l, r = pairs[k % len(pairs)]
+        cf = stereo_step(l, r)
         tr = temporal_step(kf.mates, kf.frame, cf.mates, cf.frame, I, z,
                            jnp.int32(k))
     jax.block_until_ready(tr)
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 
-    baseline_secs_per_img = measure_cpu_baseline(H, W)
-    baseline_fps = 1.0 / (2.0 * baseline_secs_per_img)   # 2 images/frame
+    ref_frame_secs = whole_frame_baseline(H, W)
+    if ref_frame_secs is not None:
+        baseline_fps = 1.0 / ref_frame_secs
+    else:
+        baseline_secs_per_img = measure_cpu_baseline(H, W)
+        baseline_fps = 1.0 / (2.0 * baseline_secs_per_img)  # 2 images/frame
 
     print(json.dumps({
         "metric": "kitti_res_frames_per_s_single_chip",

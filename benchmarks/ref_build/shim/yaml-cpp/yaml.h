@@ -166,13 +166,14 @@ inline std::shared_ptr<NodeData> parse_block(const std::vector<Line>& lines,
   nd->kind = is_seq ? NodeData::Sequence : NodeData::Map;
   while (i < lines.size() && lines[i].indent == indent) {
     std::string t = lines[i].text;
-    ++i;
     if (is_seq) {
       if (!(t.rfind("- ", 0) == 0 || t == "-"))
-        throw Exception("mixed sequence/map block near: " + t);
+        break;  // map resumes at this indent (seq was a same-indent child)
+      ++i;
       std::string rest = t == "-" ? "" : t.substr(2);
       nd->seq.push_back(parse_item_value(lines, i, indent, rest));
     } else {
+      ++i;
       size_t colon = std::string::npos;
       char q = 0;
       for (size_t k = 0; k < t.size(); ++k) {
@@ -197,6 +198,12 @@ inline std::shared_ptr<NodeData> parse_block(const std::vector<Line>& lines,
       } else if (i < lines.size() && lines[i].indent > indent) {
         int ci = lines[i].indent;
         child = parse_block(lines, i, ci);
+      } else if (i < lines.size() && lines[i].indent == indent &&
+                 (lines[i].text.rfind("- ", 0) == 0 ||
+                  lines[i].text == "-")) {
+        // block sequence at the same indent as its map key (canonical
+        // yaml.safe_dump output)
+        child = parse_block(lines, i, indent);
       } else {
         child = std::make_shared<NodeData>();
       }

@@ -99,6 +99,13 @@ class VOConfig:
     # --- Gauss-Newton photometric refinement (Stereo_Matches.cpp:1159-1288) ---
     gn_max_iter: int = 20
     gn_tol: float = 1e-3
+    # two-phase convergence compaction (ops/gauss_newton._two_phase): all
+    # lanes run gn_phase1_iters, then only the unconverged minority
+    # (compacted to a gn_phase2_budget buffer) pays the remaining
+    # iterations. 0 disables (single-phase, identical results).
+    gn_phase1_iters: int = 6
+    gn_phase2_budget: int = 16384
+    gn_tile: int = 48               # GN sampling tile (travel bound, px)
 
     # --- GT supervision path (Stereo_Matches.cpp:146,228) ---
     gt_orient_exclusion_deg: float = 4.0       # omit edges near 0/±180 deg

@@ -51,8 +51,8 @@ class StereoSample:
     left: np.ndarray
     right: np.ndarray
     timestamp: float
-    gt_R: Optional[np.ndarray] = None          # world->cam? see iterators
-    gt_t: Optional[np.ndarray] = None
+    gt_R: Optional[np.ndarray] = None          # CAM->WORLD, every format
+    gt_t: Optional[np.ndarray] = None          # (main_vo.py inverts once)
     left_disparity: Optional[np.ndarray] = None
     right_disparity: Optional[np.ndarray] = None
     left_occlusion: Optional[np.ndarray] = None
@@ -225,17 +225,24 @@ def iter_eth3d_stereo(seq_path: str) -> Iterator[StereoSample]:
             p = os.path.join(folder, name)
             if os.path.exists(p):
                 setattr(s, attr, _imread_gray(p))
-        # COLMAP-style images.txt GT for im0 (ref :245-301)
+        # COLMAP-style images.txt GT for im0 (ref :245-301). COLMAP
+        # stores WORLD->CAM (x_cam = R x_world + t); StereoSample.gt_* is
+        # cam->world like every other iterator (KITTI poses, EuRoC body
+        # chain, TUM), so invert here. Getting this backwards silently
+        # halves the temporal-cascade recall vs the reference binary
+        # (caught by tests/test_ref_binary_e2e.py).
         images_txt = os.path.join(folder, "images.txt")
         if os.path.exists(images_txt):
             with open(images_txt) as f:
                 for line in f:
                     tok = line.split()
                     if len(tok) >= 10 and tok[9] == "im0.png":
-                        s.gt_R = _quat_to_R(float(tok[1]), float(tok[2]),
-                                            float(tok[3]), float(tok[4]))
-                        s.gt_t = np.array([float(tok[5]), float(tok[6]),
-                                           float(tok[7])])
+                        R_w2c = _quat_to_R(float(tok[1]), float(tok[2]),
+                                           float(tok[3]), float(tok[4]))
+                        t_w2c = np.array([float(tok[5]), float(tok[6]),
+                                          float(tok[7])])
+                        s.gt_R = R_w2c.T
+                        s.gt_t = -R_w2c.T @ t_w2c
                         break
         yield s
 

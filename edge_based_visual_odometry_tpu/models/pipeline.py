@@ -45,6 +45,9 @@ class FrameResult(NamedTuple):
     stereo_metrics: jnp.ndarray     # (n_stages, 4)
     n_left_edges: jnp.ndarray
     n_right_edges: jnp.ndarray
+    # filter/ambiguity distributions (reference RECORD_FILTER_DISTRIBUTIONS
+    # surface); empty unless the step was built with record_distributions
+    distributions: dict = {}
 
 
 class TemporalResult(NamedTuple):
@@ -58,7 +61,8 @@ class TemporalResult(NamedTuple):
     success: jnp.ndarray
 
 
-def build_stereo_step(rig: StereoRig, cfg: VOConfig, has_gt: bool):
+def build_stereo_step(rig: StereoRig, cfg: VOConfig, has_gt: bool,
+                      record_distributions: bool = False):
     """Returns jitted fn (left_u8, right_u8[, disparity]) -> FrameResult."""
     rig_arrays = RigArrays.from_rig(rig)
     # static gather band from the rig's epipolar geometry: 4 px for
@@ -91,13 +95,17 @@ def build_stereo_step(rig: StereoRig, cfg: VOConfig, has_gt: bool):
                                 grad_mag_min=cfg.toed_grad_mag_min,
                                 max_edges=cfg.max_edges,
                                 border=cfg.toed_border)
-        mates, _, metrics = SM.match_stereo(
+        out = SM.match_stereo(
             led, red, frame, rig_arrays, cfg,
             disparity_map=disparity if has_gt else None,
             occlusion_map=occlusion if has_gt else None,
-            gather_ry=gather_ry)
+            gather_ry=gather_ry,
+            record_distributions=record_distributions)
+        mates, metrics = out[0], out[2]
+        dists = out[3] if record_distributions else {}
         return FrameResult(frame=frame, mates=mates, stereo_metrics=metrics,
-                           n_left_edges=led.count, n_right_edges=red.count)
+                           n_left_edges=led.count, n_right_edges=red.count,
+                           distributions=dists)
 
     if has_gt:
         return step
@@ -155,6 +163,9 @@ class VOPipeline:
     # optional jax.sharding.Mesh: shards the BA landmark/observation axes
     # over the mesh (parallel/mesh.py docstring); None = single device
     ba_mesh: object = None
+    # emit per-frame filter-score/ambiguity distributions in FrameResult
+    # (reference RECORD_FILTER_DISTRIBUTIONS, definitions.h:61)
+    record_distributions: bool = False
 
     def __post_init__(self):
         has_dist = (any(abs(d) > 0 for d in self.rig.left.distortion[:4])
@@ -175,7 +186,8 @@ class VOPipeline:
             except ImportError:
                 pass   # device-side undistort fallback (ops/image.py)
         self._stereo_step = build_stereo_step(
-            rig_for_device, self.cfg, self.has_gt_disparity)
+            rig_for_device, self.cfg, self.has_gt_disparity,
+            record_distributions=self.record_distributions)
         self._temporal_step = build_temporal_step(
             self.rig, self.cfg, self.use_gt_pose)
         self.wba = None

@@ -251,7 +251,8 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
                  frame: FrameData, rig: RigArrays, cfg: VOConfig,
                  disparity_map: Optional[jnp.ndarray] = None,
                  occlusion_map: Optional[jnp.ndarray] = None,
-                 gather_ry: float = 4.0):
+                 gather_ry: float = 4.0,
+                 record_distributions: bool = False):
     """Run the full stereo cascade.
 
     `occlusion_map`: optional ETH3D non-occlusion mask (255 = visible in
@@ -265,6 +266,14 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     (n_stages, 4) array row-indexed by STAGE_NAMES: with GT,
     [recall, precision, precision_pair, ambiguity] per stage; without GT,
     [rows with >=1 candidate, total candidates, 0, 0] survival diagnostics.
+
+    `record_distributions`: also return a 4th element - a dict of raw
+    filter-score / ambiguity distributions (the reference's
+    RECORD_FILTER_DISTRIBUTIONS surface, Stereo_Matches.cpp:421-489):
+    '<filter>' -> (values (N,C), is_gt (N,C), mask (N,C)) at the stage
+    where that filter is evaluated (pre-gate), and '<stage>_ambiguity'
+    -> (counts (N,), row_mask (N,)). Written to the reference's text
+    formats by utils/debug_io.write_filter_distribution.
     """
     has_gt = disparity_map is not None
     N = cfg.max_edges
@@ -402,6 +411,28 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         metrics.append(_metrics(st, cfg.dist_to_gt_thresh) if has_gt
                        else _count_row(st.cmask))
 
+    dists = {}
+
+    def _cand_is_gt(st):
+        if not has_gt:
+            return jnp.zeros_like(st.cmask)
+        d = jnp.sqrt((st.cx - st.gt_x[:, None]) ** 2
+                     + (st.cy - st.gt_y[:, None]) ** 2)
+        return st.cmask & (d <= cfg.dist_to_gt_thresh)
+
+    def snap_filter(name, st, values):
+        """Pre-gate filter scores + veridical flags
+        (record_Filter_Distribution, Stereo_Matches.cpp:421-452)."""
+        if record_distributions:
+            dists[name] = (values, _cand_is_gt(st), st.cmask)
+
+    def snap_ambiguity(stage, st):
+        """Per-edge candidate counts (record_Ambiguity_Distribution,
+        Stereo_Matches.cpp:454-489)."""
+        if record_distributions:
+            dists[f"{stage}_ambiguity"] = (jnp.sum(st.cmask, axis=1),
+                                           st.row_mask)
+
     # Row activity for chunk skipping: TOED edge lists are compacted in
     # raster order (actives packed first), so chunks past the real edge
     # count are skipped entirely (ops/tiled_sampling.py map_chunked).
@@ -436,10 +467,12 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
 
     ddist = TS.map_chunked(_desc_chunk, (state.cand_idx, l_desc),
                            N, cfg.sample_chunk, active=row_active)
+    snap_filter("sift_distance", state, ddist)
     state = state._replace(
         cmask=state.cmask & (ddist < cfg.sift_threshold),
         desc_dist=ddist)
     record(state)
+    snap_ambiguity("sift", state)
 
     # ---- patches for NCC (get_edge_patches, utility.cpp:182-212) ----
     lp_p, lp_m, lok_p, lok_m = P.edge_patches_tiled(
@@ -466,6 +499,7 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     sim = TS.map_chunked(_ncc_chunk, (state.cand_idx, l_patches, l_patch_ok),
                          N, cfg.sample_chunk,
                          active=jnp.any(state.cmask, axis=1))
+    snap_filter("ncc", state, sim)
     state = state._replace(cmask=state.cmask & (sim > cfg.ncc_thresh),
                            ncc=sim)
     record(state)
@@ -491,7 +525,9 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         state.cx[rows, slots], state.cy[rows, slots], epi_dir[rows],
         patch_size=cfg.patch_size, max_iter=cfg.gn_max_iter,
         tol=cfg.gn_tol, huber_delta=cfg.huber_delta,
-        chunk=cfg.gn_chunk, active=fmask)
+        tile=cfg.gn_tile, chunk=cfg.gn_chunk, active=fmask,
+        phase1_iters=cfg.gn_phase1_iters,
+        phase2_budget=cfg.gn_phase2_budget)
     shift_x = res.delta * epi_dir[rows, 0]
     shift_y = res.delta * epi_dir[rows, 1]
     state = state._replace(
@@ -503,6 +539,7 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         desc_dist=_scatter_back(state.desc_dist, rows, slots, fmask,
                                 res.confidence))
     record(state)
+    snap_ambiguity("photometric_refinement", state)
 
     # ---- stage 10: clustering (ref :1483 -> EdgeClusterer; stereo path
     #      clusters WITHOUT the orientation gate, EdgeClusterer ctor arg
@@ -518,6 +555,7 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
                            ctheta=jnp.where(cl.mask, cl.theta, state.ctheta),
                            cmask=cl.mask)
     record(state)
+    snap_ambiguity("edge_clustering", state)
 
     # ---- stage 11: post-cluster NCC at new centers (ref :1500) ----
     rows, slots, fmask = _flatten_active(state.cmask, cfg.max_refine_pairs)
@@ -550,6 +588,8 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     # ---- finalize (finalize_stereo_edge_mates, ref :1578-1653) ----
     mates = _finalize(state, frame, rig, cfg, l_patches, l_patch_ok, l_desc,
                       best_slot)
+    if record_distributions:
+        return mates, state, jnp.stack(metrics), dists
     return mates, state, jnp.stack(metrics)
 
 

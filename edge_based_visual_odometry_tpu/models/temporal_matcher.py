@@ -224,8 +224,20 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
              & geom.orientation_gate(g_or, cfg.temporal_orient_thresh_deg))
     record_raw(gmask)
 
+    # Compaction priority: distance of the candidate CF mate to the
+    # PREDICTED (projected) KF location, both sides. The veridical
+    # criterion is exactly proximity to the projection
+    # (Temporal_Matches.cpp:64-68), so nearest-to-prediction ranking
+    # preserves the true candidate whenever the raw window held it;
+    # orientation-difference ranking (the earlier heuristic) lost ~30%
+    # of veridical candidates at ambiguity >> Cq (caught by
+    # tests/test_ref_binary_e2e.py against the reference binary).
+    d_l = jnp.hypot(g_at[..., 0] - pl[:, None, 0],
+                    g_at[..., 1] - pl[:, None, 1])
+    d_r = jnp.hypot(g_at[..., 3] - pr[:, None, 0],
+                    g_at[..., 4] - pr[:, None, 1])
     cf_idx, c_at, cmask = GRID.compact_candidates_attrs(
-        gidx, g_at, gmask, Cq, priority=g_ol + g_or)
+        gidx, g_at, gmask, Cq, priority=d_l + d_r)
     q = TemporalQuads(
         row_mask=row_mask, proj_left=pl, proj_right=pr,
         proj_theta_l=th_l, proj_theta_r=th_r, has_veridical=has_verid,
@@ -287,7 +299,9 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
             ccx[rows, slots], ccy[rows, slots], cct[rows, slots],
             patch_size=cfg.patch_size, max_iter=cfg.gn_max_iter,
             tol=cfg.gn_tol, huber_delta=cfg.temporal_huber_delta,
-            chunk=cfg.gn_chunk, active=fmask)
+            tile=cfg.gn_tile, chunk=cfg.gn_chunk, active=fmask,
+            phase1_iters=cfg.gn_phase1_iters,
+            phase2_budget=cfg.gn_phase2_budget)
 
     res_l = refine_side(kf_frame.left, cf_frame.left,
                         cf_frame.left_gx, cf_frame.left_gy,

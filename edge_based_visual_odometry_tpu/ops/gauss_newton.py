@@ -225,19 +225,58 @@ def _rotated_two_side_coords(cx, cy, theta, n, side, patch_size):
     return jnp.concatenate([cp, cm], axis=-2)
 
 
+def _two_phase(run, B: int, args, active, delta0,
+               phase1_iters: int, phase2_budget: int, max_iter: int,
+               chunk: int):
+    """Convergence-compaction driver shared by both batch refiners.
+
+    `run(args, delta0, it0, it_stop, act)` executes GN iterations
+    [it0, it_stop) and returns (RefineResult, done). Most lanes converge
+    in a handful of iterations while a chunk's while_loop runs until its
+    SLOWEST lane converges - so phase 1 gives every lane `phase1_iters`
+    iterations, then only the unconverged minority (compacted to the
+    front of a `phase2_budget` buffer) pays for the remaining
+    iterations. Lanes past the budget keep their phase-1 state
+    (valid=False -> dropped conservatively downstream)."""
+    r1, done1 = run(args, delta0, 0, phase1_iters, active)
+    # skipped all-inactive chunks zero-fill done -> force inactive=done
+    done1 = done1 | ~active
+    B2 = min(B, max(chunk, phase2_budget))
+    order = jnp.argsort(done1.astype(jnp.int32), stable=True)
+    idx = order[:B2]
+    act2 = ~done1[idx]
+    args2 = jax.tree_util.tree_map(lambda a: a[idx], args)
+    r2, _ = run(args2, r1.delta[idx], phase1_iters, max_iter, act2)
+
+    def merge(a, b):
+        take = act2 if b.ndim == 1 else act2[:, None]
+        return a.at[idx].set(jnp.where(take, b, a[idx]),
+                             unique_indices=True)
+
+    return RefineResult(merge(r1.delta, r2.delta), merge(r1.score, r2.score),
+                        merge(r1.confidence, r2.confidence),
+                        merge(r1.valid, r2.valid),
+                        merge(r1.iters, r2.iters))
+
+
 def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
                                 lx, ly, ltheta, rx, ry, epi_dir,
                                 patch_size: int = 7, max_iter: int = 20,
                                 tol: float = 1e-3, huber_delta: float = 1.0,
                                 tile: int = 48, chunk: int = 2048,
-                                active=None) -> RefineResult:
+                                active=None, phase1_iters: int = 0,
+                                phase2_budget: int = 0) -> RefineResult:
     """Batched 1-DoF epipolar GN (same math as refine_along_epipolar).
     All edge args (B,); epi_dir (B, 2). GN travel is bounded by the tile
     (+-(tile/2 - patch extent) px; documented deviation).
 
     `active`: optional (B,) mask - inactive lanes start converged, so with
     actives packed first (the flat-compaction layout) whole tail chunks
-    run zero iterations of the while_loop."""
+    run zero iterations of the while_loop.
+
+    `phase1_iters` > 0 enables two-phase convergence compaction (see
+    _two_phase); results for lanes within the phase-2 budget are
+    identical to the single-phase path."""
     B = lx.shape[0]
     if active is None:
         active = jnp.ones((B,), bool)
@@ -250,70 +289,86 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
     left_atlas = TS.build_atlas(left_img[None], 32, 8)
     H, W = left_img.shape
 
-    def run_chunk(args):
-        lx_c, ly_c, lt_c, rx_c, ry_c, dir_c, act_c = args
-        t = jnp.stack([jnp.cos(lt_c), jnp.sin(lt_c)], -1)
-        n = jnp.stack([-t[..., 1], t[..., 0]], -1)
+    def make_run(it_stop):
+        def run_chunk(args):
+            lx_c, ly_c, lt_c, rx_c, ry_c, dir_c, act_c, alpha0_c, it0_c = args
+            t = jnp.stack([jnp.cos(lt_c), jnp.sin(lt_c)], -1)
+            n = jnp.stack([-t[..., 1], t[..., 0]], -1)
 
-        lcoords = _rotated_two_side_coords(lx_c, ly_c, lt_c, n, side,
-                                           patch_size)
-        lvals = TS.sample_atlas(left_atlas, lx_c, ly_c,
-                                lcoords[..., 0], lcoords[..., 1])[:, 0]
-        lp = lvals[:, :pp]
-        lm = lvals[:, pp:]
-        lp = lp - jnp.mean(lp, -1, keepdims=True)
-        lm = lm - jnp.mean(lm, -1, keepdims=True)
+            lcoords = _rotated_two_side_coords(lx_c, ly_c, lt_c, n, side,
+                                               patch_size)
+            lvals = TS.sample_atlas(left_atlas, lx_c, ly_c,
+                                    lcoords[..., 0], lcoords[..., 1])[:, 0]
+            lp = lvals[:, :pp]
+            lm = lvals[:, pp:]
+            lp = lp - jnp.mean(lp, -1, keepdims=True)
+            lm = lm - jnp.mean(lm, -1, keepdims=True)
 
-        tiles, ox, oy = TS.fetch_atlas_tiles(right_atlas, rx_c, ry_c)
+            tiles, ox, oy = TS.fetch_atlas_tiles(right_atlas, rx_c, ry_c)
 
-        def body(carry):
-            alpha, done, score, conf, valid, conv, it = carry
-            shift = alpha[:, None] * dir_c
-            rc = _rotated_two_side_coords(rx_c + shift[:, 0],
-                                          ry_c + shift[:, 1],
-                                          lt_c, n, side, patch_size)
-            vals = TS.bilinear_sample_tiles(
-                tiles, ox, oy, rc[..., 0], rc[..., 1],
-                grad_precision=jax.lax.Precision.DEFAULT)
-            rv = vals[:, 0]
-            gx = vals[:, 1]
-            gy = vals[:, 2]
-            rvp = rv[:, :pp] - jnp.mean(rv[:, :pp], -1, keepdims=True)
-            rvm = rv[:, pp:] - jnp.mean(rv[:, pp:], -1, keepdims=True)
-            r = jnp.concatenate([lp - rvp, lm - rvm], -1)
-            g = -gx * dir_c[:, 0:1] + gy * dir_c[:, 1:2]
-            absr = jnp.abs(r)
-            w = jnp.where(absr <= huber_delta, 1.0, huber_delta / absr)
-            Hh = jnp.sum(w * g * g, -1)
-            b = jnp.sum(w * g * r, -1)
-            cost = jnp.sum(w * r * r, -1)
+            def body(carry):
+                alpha, done, score, conf, valid, conv, it = carry
+                shift = alpha[:, None] * dir_c
+                rc = _rotated_two_side_coords(rx_c + shift[:, 0],
+                                              ry_c + shift[:, 1],
+                                              lt_c, n, side, patch_size)
+                vals = TS.bilinear_sample_tiles(
+                    tiles, ox, oy, rc[..., 0], rc[..., 1],
+                    grad_precision=jax.lax.Precision.DEFAULT)
+                rv = vals[:, 0]
+                gx = vals[:, 1]
+                gy = vals[:, 2]
+                rvp = rv[:, :pp] - jnp.mean(rv[:, :pp], -1, keepdims=True)
+                rvm = rv[:, pp:] - jnp.mean(rv[:, pp:], -1, keepdims=True)
+                r = jnp.concatenate([lp - rvp, lm - rvm], -1)
+                g = -gx * dir_c[:, 0:1] + gy * dir_c[:, 1:2]
+                absr = jnp.abs(r)
+                w = jnp.where(absr <= huber_delta, 1.0, huber_delta / absr)
+                Hh = jnp.sum(w * g * g, -1)
+                b = jnp.sum(w * g * r, -1)
+                cost = jnp.sum(w * r * r, -1)
 
-            degenerate = Hh < 1e-8
-            delta = jnp.where(degenerate, 0.0, -b / jnp.maximum(Hh, 1e-8))
-            new_alpha = alpha + delta
-            rms = jnp.sqrt(cost / n_samples)
-            converged = (jnp.abs(delta) < tol) | (it == max_iter - 1)
-            is_outlier = (rms > huber_delta * 2.0) | (it < 1)
-            finish = converged & ~done & ~degenerate
-            score = jnp.where(finish, rms, score)
-            conf = jnp.where(finish, jnp.exp(-rms / huber_delta), conf)
-            valid = jnp.where(finish, ~is_outlier, valid)
-            alpha = jnp.where(done | degenerate, alpha, new_alpha)
-            conv = jnp.where(done, conv, it + 1)
-            done = done | converged | degenerate
-            return (alpha, done, score, conf, valid, conv, it + 1)
+                degenerate = Hh < 1e-8
+                delta = jnp.where(degenerate, 0.0,
+                                  -b / jnp.maximum(Hh, 1e-8))
+                new_alpha = alpha + delta
+                rms = jnp.sqrt(cost / n_samples)
+                converged = (jnp.abs(delta) < tol) | (it == max_iter - 1)
+                is_outlier = (rms > huber_delta * 2.0) | (it < 1)
+                finish = converged & ~done & ~degenerate
+                score = jnp.where(finish, rms, score)
+                conf = jnp.where(finish, jnp.exp(-rms / huber_delta), conf)
+                valid = jnp.where(finish, ~is_outlier, valid)
+                alpha = jnp.where(done | degenerate, alpha, new_alpha)
+                conv = jnp.where(done, conv, it + 1)
+                done = done | converged | degenerate
+                return (alpha, done, score, conf, valid, conv, it + 1)
 
-        b = lx_c.shape[0]
-        init = (jnp.zeros(b), ~act_c, jnp.full(b, 1e6),
-                jnp.zeros(b), jnp.zeros(b, bool), jnp.zeros(b, jnp.int32),
-                jnp.int32(0))
-        out = jax.lax.while_loop(
-            lambda c: (c[6] < max_iter) & jnp.any(~c[1]), body, init)
-        return RefineResult(out[0], out[2], out[3], out[4], out[5])
+            b = lx_c.shape[0]
+            init = (alpha0_c, ~act_c, jnp.full(b, 1e6),
+                    jnp.zeros(b), jnp.zeros(b, bool),
+                    jnp.zeros(b, jnp.int32), it0_c[0])
+            out = jax.lax.while_loop(
+                lambda c: (c[6] < it_stop) & jnp.any(~c[1]), body, init)
+            return (RefineResult(out[0], out[2], out[3], out[4], out[5]),
+                    out[1])
+        return run_chunk
 
-    return TS.map_chunked(run_chunk,
-                          (lx, ly, ltheta, rx, ry, epi_dir, active),
-                          B, chunk, active=active)
+    def run(args, delta0, it0, it_stop, act):
+        lx_, ly_, lt_, rx_, ry_, dir_ = args
+        b = lx_.shape[0]
+        it0_arr = jnp.full((b,), it0, jnp.int32)
+        return TS.map_chunked(
+            make_run(it_stop),
+            (lx_, ly_, lt_, rx_, ry_, dir_, act, delta0, it0_arr),
+            b, chunk, active=act)
+
+    args = (lx, ly, ltheta, rx, ry, epi_dir)
+    if not phase1_iters or phase1_iters >= max_iter:
+        res, _ = run(args, jnp.zeros((B,)), 0, max_iter, active)
+        return res
+    return _two_phase(run, B, args, active, jnp.zeros((B,)),
+                      phase1_iters, phase2_budget, max_iter, chunk)
 
 
 def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
@@ -321,9 +376,11 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
                       patch_size: int = 7, max_iter: int = 20,
                       tol: float = 1e-3, huber_delta: float = 3.0,
                       tile: int = 48, chunk: int = 2048,
-                      active=None) -> RefineResult:
+                      active=None, phase1_iters: int = 0,
+                      phase2_budget: int = 0) -> RefineResult:
     """Batched 2-DoF photometric GN (same math as refine_2dof); see
-    refine_along_epipolar_batch for the `active` early-exit semantics."""
+    refine_along_epipolar_batch for the `active` / `phase1_iters`
+    semantics. The phase-1 initial displacement is d0 = kf - cf."""
     B = kx.shape[0]
     if active is None:
         active = jnp.ones((B,), bool)
@@ -336,70 +393,86 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
     kf_atlas = TS.build_atlas(kf_img[None], 32, 8)
     H, W = kf_img.shape
 
-    def run_chunk(args):
-        kx_c, ky_c, kt_c, cx_c, cy_c, ct_c, act_c = args
-        t_kf = jnp.stack([jnp.cos(kt_c), jnp.sin(kt_c)], -1)
-        n_kf = jnp.stack([-t_kf[..., 1], t_kf[..., 0]], -1)
-        lcoords = _rotated_two_side_coords(kx_c, ky_c, kt_c, n_kf, side,
-                                           patch_size)
-        lvals = TS.sample_atlas(kf_atlas, kx_c, ky_c,
-                                lcoords[..., 0], lcoords[..., 1])[:, 0]
-        lp = lvals[:, :pp] - jnp.mean(lvals[:, :pp], -1, keepdims=True)
-        lm = lvals[:, pp:] - jnp.mean(lvals[:, pp:], -1, keepdims=True)
+    def make_run(it_stop):
+        def run_chunk(args):
+            (kx_c, ky_c, kt_c, cx_c, cy_c, ct_c, act_c,
+             d0_c, it0_c) = args
+            t_kf = jnp.stack([jnp.cos(kt_c), jnp.sin(kt_c)], -1)
+            n_kf = jnp.stack([-t_kf[..., 1], t_kf[..., 0]], -1)
+            lcoords = _rotated_two_side_coords(kx_c, ky_c, kt_c, n_kf, side,
+                                               patch_size)
+            lvals = TS.sample_atlas(kf_atlas, kx_c, ky_c,
+                                    lcoords[..., 0], lcoords[..., 1])[:, 0]
+            lp = lvals[:, :pp] - jnp.mean(lvals[:, :pp], -1, keepdims=True)
+            lm = lvals[:, pp:] - jnp.mean(lvals[:, pp:], -1, keepdims=True)
 
-        t_cf = jnp.stack([jnp.cos(ct_c), jnp.sin(ct_c)], -1)
-        n_cf = jnp.stack([-t_cf[..., 1], t_cf[..., 0]], -1)
-        tiles, ox, oy = TS.fetch_atlas_tiles(cf_atlas, cx_c, cy_c)
-        d0 = jnp.stack([kx_c - cx_c, ky_c - cy_c], -1)
-        kf_loc = jnp.stack([kx_c, ky_c], -1)
-        reg = 1e-6 * n_samples
+            t_cf = jnp.stack([jnp.cos(ct_c), jnp.sin(ct_c)], -1)
+            n_cf = jnp.stack([-t_cf[..., 1], t_cf[..., 0]], -1)
+            tiles, ox, oy = TS.fetch_atlas_tiles(cf_atlas, cx_c, cy_c)
+            kf_loc = jnp.stack([kx_c, ky_c], -1)
+            reg = 1e-6 * n_samples
 
-        def body(carry):
-            d, done, score, conf, valid, conv, it = carry
-            loc = kf_loc - d
-            rc = _rotated_two_side_coords(loc[:, 0], loc[:, 1], ct_c, n_cf,
-                                          side, patch_size)
-            vals = TS.bilinear_sample_tiles(
-                tiles, ox, oy, rc[..., 0], rc[..., 1],
-                grad_precision=jax.lax.Precision.DEFAULT)
-            rv, gx, gy = vals[:, 0], vals[:, 1], vals[:, 2]
-            rvp = rv[:, :pp] - jnp.mean(rv[:, :pp], -1, keepdims=True)
-            rvm = rv[:, pp:] - jnp.mean(rv[:, pp:], -1, keepdims=True)
-            r = jnp.concatenate([lp - rvp, lm - rvm], -1)
-            absr = jnp.abs(r)
-            w = jnp.where(absr < huber_delta, 1.0, huber_delta / absr)
-            H00 = jnp.sum(w * gx * gx, -1) + reg
-            H01 = jnp.sum(w * gx * gy, -1)
-            H11 = jnp.sum(w * gy * gy, -1) + reg
-            b0 = jnp.sum(w * gx * r, -1)
-            b1 = jnp.sum(w * gy * r, -1)
-            cost = jnp.sum(w * r * r, -1)
-            det = H00 * H11 - H01 * H01
-            inv = 1.0 / det
-            delta = jnp.stack([-(H11 * b0 - H01 * b1) * inv,
-                               -(-H01 * b0 + H00 * b1) * inv], -1)
-            new_d = d + delta
-            rms = jnp.sqrt(cost / n_samples)
-            converged = ((jnp.linalg.norm(delta, axis=-1) < tol)
-                         | (it == max_iter - 1))
-            is_outlier = (rms > huber_delta * 2.0) | (it < 1)
-            finish = converged & ~done
-            score = jnp.where(finish, rms, score)
-            conf = jnp.where(finish, jnp.exp(-rms / huber_delta), conf)
-            valid = jnp.where(finish, ~is_outlier, valid)
-            d = jnp.where(done[:, None], d, new_d)
-            conv = jnp.where(done, conv, it + 1)
-            done = done | converged
-            return (d, done, score, conf, valid, conv, it + 1)
+            def body(carry):
+                d, done, score, conf, valid, conv, it = carry
+                loc = kf_loc - d
+                rc = _rotated_two_side_coords(loc[:, 0], loc[:, 1], ct_c,
+                                              n_cf, side, patch_size)
+                vals = TS.bilinear_sample_tiles(
+                    tiles, ox, oy, rc[..., 0], rc[..., 1],
+                    grad_precision=jax.lax.Precision.DEFAULT)
+                rv, gx, gy = vals[:, 0], vals[:, 1], vals[:, 2]
+                rvp = rv[:, :pp] - jnp.mean(rv[:, :pp], -1, keepdims=True)
+                rvm = rv[:, pp:] - jnp.mean(rv[:, pp:], -1, keepdims=True)
+                r = jnp.concatenate([lp - rvp, lm - rvm], -1)
+                absr = jnp.abs(r)
+                w = jnp.where(absr < huber_delta, 1.0, huber_delta / absr)
+                H00 = jnp.sum(w * gx * gx, -1) + reg
+                H01 = jnp.sum(w * gx * gy, -1)
+                H11 = jnp.sum(w * gy * gy, -1) + reg
+                b0 = jnp.sum(w * gx * r, -1)
+                b1 = jnp.sum(w * gy * r, -1)
+                cost = jnp.sum(w * r * r, -1)
+                det = H00 * H11 - H01 * H01
+                inv = 1.0 / det
+                delta = jnp.stack([-(H11 * b0 - H01 * b1) * inv,
+                                   -(-H01 * b0 + H00 * b1) * inv], -1)
+                new_d = d + delta
+                rms = jnp.sqrt(cost / n_samples)
+                converged = ((jnp.linalg.norm(delta, axis=-1) < tol)
+                             | (it == max_iter - 1))
+                is_outlier = (rms > huber_delta * 2.0) | (it < 1)
+                finish = converged & ~done
+                score = jnp.where(finish, rms, score)
+                conf = jnp.where(finish, jnp.exp(-rms / huber_delta), conf)
+                valid = jnp.where(finish, ~is_outlier, valid)
+                d = jnp.where(done[:, None], d, new_d)
+                conv = jnp.where(done, conv, it + 1)
+                done = done | converged
+                return (d, done, score, conf, valid, conv, it + 1)
 
-        b = kx_c.shape[0]
-        init = (d0, ~act_c, jnp.full(b, 1e6),
-                jnp.zeros(b), jnp.zeros(b, bool), jnp.zeros(b, jnp.int32),
-                jnp.int32(0))
-        out = jax.lax.while_loop(
-            lambda c: (c[6] < max_iter) & jnp.any(~c[1]), body, init)
-        return RefineResult(out[0], out[2], out[3], out[4], out[5])
+            b = kx_c.shape[0]
+            init = (d0_c, ~act_c, jnp.full(b, 1e6),
+                    jnp.zeros(b), jnp.zeros(b, bool),
+                    jnp.zeros(b, jnp.int32), it0_c[0])
+            out = jax.lax.while_loop(
+                lambda c: (c[6] < it_stop) & jnp.any(~c[1]), body, init)
+            return (RefineResult(out[0], out[2], out[3], out[4], out[5]),
+                    out[1])
+        return run_chunk
 
-    return TS.map_chunked(run_chunk,
-                          (kx, ky, ktheta, cx, cy, ctheta, active),
-                          B, chunk, active=active)
+    def run(args, delta0, it0, it_stop, act):
+        kx_, ky_, kt_, cx_, cy_, ct_ = args
+        b = kx_.shape[0]
+        it0_arr = jnp.full((b,), it0, jnp.int32)
+        return TS.map_chunked(
+            make_run(it_stop),
+            (kx_, ky_, kt_, cx_, cy_, ct_, act, delta0, it0_arr),
+            b, chunk, active=act)
+
+    args = (kx, ky, ktheta, cx, cy, ctheta)
+    d0 = jnp.stack([kx - cx, ky - cy], -1)
+    if not phase1_iters or phase1_iters >= max_iter:
+        res, _ = run(args, d0, 0, max_iter, active)
+        return res
+    return _two_phase(run, B, args, active, d0,
+                      phase1_iters, phase2_budget, max_iter, chunk)

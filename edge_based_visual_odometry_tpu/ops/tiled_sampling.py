@@ -71,9 +71,12 @@ def bilinear_sample_tiles(tiles: jnp.ndarray, ox, oy, xs, ys,
     w_col = jnp.maximum(0.0, 1.0 - jnp.abs(rx[..., None] - iota))  # (B,S,T)
 
     def contract(tl, prec):
-        # (B,S,T) x (B,c,T,T) -> (B,c,S,T), then weighted column reduce
-        p = jnp.einsum("bst,bctu->bcsu", w_row, tl, precision=prec)
-        return jnp.einsum("bcsu,bsu->bcs", p, w_col, precision=prec)
+        # contract the column axis first: (B,S,U)x(B,c,T,U) -> (B,c,T,S)
+        # keeps the LARGER sample axis minor (S=98 pads to 128 lanes vs
+        # the tile axis 48 -> 128, i.e. 23% vs 62% lane waste in the MXU
+        # output), then the row weights reduce over T
+        p = jnp.einsum("bsu,bctu->bcts", w_col, tl, precision=prec)
+        return jnp.einsum("bst,bcts->bcs", w_row, p, precision=prec)
 
     if grad_precision is None or C == 1:
         return contract(tiles, precision)

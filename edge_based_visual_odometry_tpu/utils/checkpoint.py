@@ -19,6 +19,10 @@ def _nt_to_arrays(nt, prefix, out):
     """Recursively flatten NamedTuples of arrays into {name: array}.
     bfloat16 (not numpy-serializable) is stored as a uint16 bit view with
     a name suffix tag."""
+    if isinstance(nt, dict):
+        # diagnostic payloads (FrameResult.distributions) are not part of
+        # inter-frame state - don't serialize them
+        return
     if hasattr(nt, "_fields"):
         for f in nt._fields:
             _nt_to_arrays(getattr(nt, f), f"{prefix}{f}.", out)
@@ -44,6 +48,10 @@ def _arrays_to_nt(cls, prefix, data):
             kwargs[f] = jnp.asarray(data[key])
         elif key + "@bf16" in data:
             kwargs[f] = jnp.asarray(data[key + "@bf16"]).view(jnp.bfloat16)
+        elif f in getattr(cls, "_field_defaults", {}) and not any(
+                k.startswith(f"{prefix}{f}.") for k in data):
+            # unserialized field with a default (e.g. diagnostics dicts)
+            kwargs[f] = cls._field_defaults[f]
         else:
             # nested NamedTuple
             sub_cls = hints.get(f)

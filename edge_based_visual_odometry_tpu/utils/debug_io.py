@@ -109,3 +109,55 @@ def write_disparities(path: str, mates, frame_idx: int) -> None:
                 gt = float("nan")
                 err = float("nan")
             f.write(f"{lx[i]}\t{ly[i]}\t{rx[i]}\t{ry[i]}\t{est}\t{gt}\t{err}\n")
+
+
+def write_filter_distribution(path: str, filter_name: str, frame_idx: int,
+                              values, is_gt, mask) -> None:
+    """Per-candidate filter-score distribution with veridical flags, in
+    the reference's record_Filter_Distribution text format
+    (Stereo_Matches.cpp:421-452): header + 'filter_value\\tis_GT' rows."""
+    values = np.asarray(values)
+    is_gt = np.asarray(is_gt).astype(int)
+    mask = np.asarray(mask).astype(bool)
+    v = values[mask]
+    g = is_gt[mask]
+    with open(path, "w") as f:
+        f.write(f"# {filter_name} distribution for frame {frame_idx}\n")
+        f.write(f"# Total values: {v.size} (Veridical: {int(g.sum())}, "
+                f"Non-veridical: {int(v.size - g.sum())})\n")
+        f.write("filter_value\tis_GT\n")
+        for vi, gi in zip(v, g):
+            f.write(f"{vi}\t{gi}\n")
+
+
+def write_ambiguity_distribution(path: str, stage_name: str, frame_idx: int,
+                                 counts, row_mask) -> None:
+    """Per-edge candidate-count distribution, reference
+    record_Ambiguity_Distribution format (Stereo_Matches.cpp:454-489)."""
+    counts = np.asarray(counts)
+    rm = np.asarray(row_mask).astype(bool)
+    c = counts[rm]
+    with open(path, "w") as f:
+        f.write(f"# Ambiguity distribution for stage: {stage_name} "
+                f"| Frame: {frame_idx}\n")
+        f.write(f"# Total edges: {c.size}\n")
+        f.write("num_candidates\n")
+        for ci in c:
+            f.write(f"{int(ci)}\n")
+
+
+def write_distributions(output_dir: str, frame_idx: int, dists: dict) -> None:
+    """Write every entry of a match_stereo(record_distributions=True)
+    dict: '<name>' -> <name>_frame_N.txt, '<stage>_ambiguity' ->
+    ambiguity_<stage>_frame_N.txt (reference filename conventions)."""
+    for name, payload in dists.items():
+        if name.endswith("_ambiguity"):
+            stage = name[: -len("_ambiguity")]
+            write_ambiguity_distribution(
+                os.path.join(output_dir,
+                             f"ambiguity_{stage}_frame_{frame_idx}.txt"),
+                stage, frame_idx, *payload)
+        else:
+            write_filter_distribution(
+                os.path.join(output_dir, f"{name}_frame_{frame_idx}.txt"),
+                name, frame_idx, *payload)

@@ -49,6 +49,10 @@ def main(argv=None):
     ap.add_argument("--dump_quads", action="store_true",
                     help="write quads_frame_N.txt per re-keyframing frame "
                          "(reference Temporal_Matches.cpp:1066-1112)")
+    ap.add_argument("--record_filter_distributions", action="store_true",
+                    help="write per-frame filter-score + ambiguity "
+                         "distribution files (reference "
+                         "RECORD_FILTER_DISTRIBUTIONS, definitions.h:61)")
     args = ap.parse_args(argv)
 
     with open(args.config_file) as f:
@@ -93,9 +97,11 @@ def main(argv=None):
 
     pipe = PL.VOPipeline(rig=rig, cfg=vo_cfg,
                          has_gt_disparity=has_gt_disparity,
-                         use_gt_pose=args.use_gt_pose)
+                         use_gt_pose=args.use_gt_pose,
+                         record_distributions=args.record_filter_distributions)
     rig_arrays = None
-    if args.dump_stereo_pairs or args.dump_quads:
+    if (args.dump_stereo_pairs or args.dump_quads
+            or args.record_filter_distributions):
         from edge_based_visual_odometry_tpu.models.types import RigArrays
         from edge_based_visual_odometry_tpu.utils import debug_io as DIO
         rig_arrays = RigArrays.from_rig(rig)
@@ -127,6 +133,8 @@ def main(argv=None):
             DIO.write_quads(os.path.join(out_dir, f"quads_frame_{n}.txt"),
                             kf_before.mates, tr.quads,
                             kf_idx=kf_idx_before, cf_idx=n)
+        if args.record_filter_distributions:
+            DIO.write_distributions(out_dir, n, fr.distributions)
         n += 1
         msg = (f"frame {n - 1}: edges L/R = {int(fr.n_left_edges)}/"
                f"{int(fr.n_right_edges)}, mates = {int(fr.mates.count)}")

@@ -109,7 +109,8 @@ def test_main_vo_cli_dump_files(kitti_dir):
                                       "main_vo.py"),
          "-c", str(cfg_path), "--max_frames", "2", "--max_edges", "1024",
          "--output_dir", out_dir,
-         "--dump_stereo_pairs", "--dump_quads"],
+         "--dump_stereo_pairs", "--dump_quads",
+         "--record_filter_distributions"],
         capture_output=True, text=True, timeout=1500, env=env)
     assert out.returncode == 0, out.stderr[-3000:]
     for k in range(2):
@@ -125,3 +126,17 @@ def test_main_vo_cli_dump_files(kitti_dir):
     assert qlines[0].startswith("# keyframe 0")
     assert len(qlines) > 2
     assert len(qlines[2].split(",")) == 8
+    # filter/ambiguity distributions (reference RECORD_FILTER_DISTRIBUTIONS
+    # formats, Stereo_Matches.cpp:421-489)
+    for k in range(2):
+        fd = os.path.join(out_dir, f"sift_distance_frame_{k}.txt")
+        assert os.path.exists(fd)
+        fdl = open(fd).read().splitlines()
+        assert fdl[2] == "filter_value\tis_GT"
+        assert len(fdl) > 3
+        assert len(fdl[3].split("\t")) == 2
+        amb = os.path.join(out_dir, f"ambiguity_sift_frame_{k}.txt")
+        assert os.path.exists(amb)
+        al = open(amb).read().splitlines()
+        assert al[2] == "num_candidates"
+        assert len(al) > 3

@@ -159,10 +159,13 @@ def test_eth3d_stereo_iterator(eth3d_stereo_dir):
         assert (s.left_occlusion[:, : 56 // 2] == 0).all()
         assert (s.left_occlusion[:, 56 // 2:] == 255).all()
         assert (s.right_occlusion == 255).all()
-        # GT comes from the im0.png line, not im1's
+        # GT comes from the im0.png line, not im1's. COLMAP images.txt is
+        # WORLD->CAM; the iterator returns cam->world like every other
+        # format (StereoSample contract)
         q, t = gt[k]
-        np.testing.assert_allclose(s.gt_R, _quat_to_R(*q), atol=1e-9)
-        np.testing.assert_allclose(s.gt_t, t, atol=1e-9)
+        R_w2c = _quat_to_R(*q)
+        np.testing.assert_allclose(s.gt_R, R_w2c.T, atol=1e-9)
+        np.testing.assert_allclose(s.gt_t, -R_w2c.T @ t, atol=1e-9)
 
 
 def test_occlusion_mask_excludes_edges_from_gt_supervision():

@@ -1,0 +1,40 @@
+"""Virtual-mesh rehearsal of the EXACT multi-host harness code path
+(VERDICT r1 item 8): scripts/run_multihost.py's input assembly via
+jax.make_array_from_process_local_data + sharded step + measurement,
+on the 8-device CPU mesh (conftest.py sets the platform flags)."""
+
+import numpy as np
+
+import jax
+
+from edge_based_visual_odometry_tpu.config import VOConfig
+from edge_based_visual_odometry_tpu.parallel import mesh as PM
+
+
+def test_run_multihost_rehearsal():
+    from scripts.run_multihost import SIZES, build_local_inputs, measure
+
+    mesh = PM.make_mesh()
+    assert mesh.devices.size == 8
+    h, w, over = SIZES["small"]
+    arrays, rig = build_local_inputs(mesh, batch_per_device=1, h=h, w=w)
+    # every input is globally (8, ...) and frame-sharded, one shard per
+    # device, assembled from process-local data
+    assert arrays["kf_l"].shape == (8, h, w)
+    assert len(arrays["kf_l"].addressable_shards) == 8
+
+    step = PM.build_sharded_pair_step(rig, VOConfig(**over), mesh)
+    dt, out = measure(step, arrays, steps=1, warmup=1)
+    assert dt > 0
+    assert out.R.shape == (8, 3, 3)
+    assert np.isfinite(float(out.mean_inlier_ratio))
+
+
+def test_run_multihost_main_single_process():
+    """main() end-to-end in single-process mode (no jax.distributed)."""
+    from scripts.run_multihost import main
+
+    res = main(["--steps", "1", "--size", "small"])
+    assert res["devices"] == 8
+    assert res["hosts"] == 1
+    assert res["frame_pairs_per_s"] > 0

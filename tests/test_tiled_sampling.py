@@ -148,3 +148,67 @@ def test_gn2_batch_matches_scalar(rng):
         jnp.asarray(cx), jnp.asarray(cy), jnp.asarray(ct))
     np.testing.assert_allclose(np.asarray(batch.delta),
                                np.asarray(scalar.delta), atol=0.05)
+
+
+def test_gn_two_phase_matches_single_phase(rng):
+    """Convergence compaction (gauss_newton._two_phase) must reproduce the
+    single-phase results exactly for every lane within the phase-2 budget
+    (VERDICT r1 item 1 optimization)."""
+    img = image()
+    yy, xx = np.mgrid[0:96, 0:128].astype(np.float64)
+    right = (100 + 45 * np.sin(0.35 * (xx + 2.0)) + 45 * np.cos(0.4 * yy)
+             + 25 * np.sin(0.25 * (xx + 2.0 + yy))).astype(np.float32)
+    gx = np.gradient(right, axis=1).astype(np.float32)
+    gy = np.gradient(right, axis=0).astype(np.float32)
+    B = 32
+    lx = rng.uniform(25, 100, B).astype(np.float32)
+    ly = rng.uniform(25, 70, B).astype(np.float32)
+    lt = rng.uniform(0.3, 1.2, B).astype(np.float32)
+    rx = (lx - 2.0 + rng.uniform(-1, 1, B)).astype(np.float32)
+    ry = ly.copy()
+    ed = np.tile(np.array([[1.0, 0.0]], np.float32), (B, 1))
+    active = np.ones(B, bool)
+    active[::5] = False
+
+    common = (jnp.asarray(img), jnp.asarray(right), jnp.asarray(gx),
+              jnp.asarray(gy), jnp.asarray(lx), jnp.asarray(ly),
+              jnp.asarray(lt), jnp.asarray(rx), jnp.asarray(ry),
+              jnp.asarray(ed))
+    one = GN.refine_along_epipolar_batch(
+        *common, tile=32, chunk=8, active=jnp.asarray(active))
+    two = GN.refine_along_epipolar_batch(
+        *common, tile=32, chunk=8, active=jnp.asarray(active),
+        phase1_iters=3, phase2_budget=B)
+    np.testing.assert_allclose(np.asarray(two.delta)[active],
+                               np.asarray(one.delta)[active], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(two.score)[active],
+                               np.asarray(one.score)[active], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(two.valid)[active],
+                                  np.asarray(one.valid)[active])
+
+
+def test_gn2_two_phase_matches_single_phase(rng):
+    kf = image()
+    yy, xx = np.mgrid[0:96, 0:128].astype(np.float64)
+    cf = (100 + 45 * np.sin(0.35 * (xx + 1.5)) + 45 * np.cos(0.4 * (yy - 1.0))
+          + 25 * np.sin(0.25 * (xx + 1.5 + yy - 1.0))).astype(np.float32)
+    gx = np.gradient(cf, axis=1).astype(np.float32)
+    gy = np.gradient(cf, axis=0).astype(np.float32)
+    B = 24
+    kx = rng.uniform(25, 100, B).astype(np.float32)
+    ky = rng.uniform(25, 70, B).astype(np.float32)
+    kt = rng.uniform(0.3, 1.2, B).astype(np.float32)
+    cx = (kx - 1.5 + rng.uniform(-0.5, 0.5, B)).astype(np.float32)
+    cy = (ky + 1.0 + rng.uniform(-0.5, 0.5, B)).astype(np.float32)
+    ct = kt.copy()
+    common = (jnp.asarray(kf), jnp.asarray(cf), jnp.asarray(gx),
+              jnp.asarray(gy), jnp.asarray(kx), jnp.asarray(ky),
+              jnp.asarray(kt), jnp.asarray(cx), jnp.asarray(cy),
+              jnp.asarray(ct))
+    one = GN.refine_2dof_batch(*common, tile=32, chunk=8)
+    two = GN.refine_2dof_batch(*common, tile=32, chunk=8,
+                               phase1_iters=3, phase2_budget=B)
+    np.testing.assert_allclose(np.asarray(two.delta), np.asarray(one.delta),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(two.valid),
+                                  np.asarray(one.valid))
