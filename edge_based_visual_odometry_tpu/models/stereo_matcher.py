@@ -644,6 +644,10 @@ def _finalize(state: StereoState, frame: FrameData, rig: RigArrays,
     return StereoMates(
         left_x=z(lx), left_y=z(ly), left_theta=z(lt),
         right_x=z(rx), right_y=z(ry), right_theta=z(rt),
+        # NOTE: bf16 patch storage was tried for the temporal NCC gathers
+        # and measured 5% slower end-to-end on v5e (combined with the
+        # argsort cap-rank; sub-32-bit gathers + upcast lose more than
+        # the halved HBM traffic saves) - patches stay f32.
         left_patches=l_patches[row_of] * valid[:, None, None],
         right_patches=r_patches * valid[:, None, None],
         left_patch_ok=l_patch_ok[row_of] & valid[:, None],

@@ -12,12 +12,13 @@ distance graph, computed by iterative min-label propagation over a (C, C)
 adjacency matrix, vmapped over rows of the (N, C) candidate tensor.
 
 DELIBERATE DEVIATION (documented per SURVEY.md §7 hard-part #4): without
-the size cap, greedy merge-to-fixpoint is exactly connected components; the
-reference additionally stops merging when a cluster would exceed
-MAX_CLUSTER_SIZE=10 (order-dependent). Candidate sets here have <= 32
-entries on a ~1 px scale, so components above 10 members are rare; we take
-pure connected components. The Gaussian-weighted representative
-(EdgeClusterer.cpp:43-117) is reproduced numerically.
+the size cap, greedy merge-to-fixpoint is exactly connected components.
+The reference's MAX_CLUSTER_SIZE=10 cap refuses merges in greedy
+nearest-first order (inherently sequential); the vectorized equivalent
+(`max_cluster_size` arg) keeps the cap members nearest the component
+centroid and reverts the rest to singleton hypotheses. The
+Gaussian-weighted representative (EdgeClusterer.cpp:43-117) is
+reproduced numerically.
 """
 
 from __future__ import annotations
@@ -81,7 +82,6 @@ def cluster_edges(x, y, theta, mask,
     labels = jnp.where(mask, labels, C)
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-    slot_j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
 
     if max_cluster_size and max_cluster_size < C:
         # rank members by distance to their component's centroid; members
@@ -93,7 +93,12 @@ def cluster_edges(x, y, theta, mask,
         ddx0 = x[..., None, :] - cx0[..., :, None]
         ddy0 = y[..., None, :] - cy0[..., :, None]
         dc = jnp.sqrt(ddx0 * ddx0 + ddy0 * ddy0)        # (..., r, j)
-        # rank[r, j] = #{k in component r : (dc[r,k], k) < (dc[r,j], j)}
+        # rank[r, j] = #{k in component r : (dc[r,k], k) < (dc[r,j], j)}.
+        # The (r, k, j) comparison cube looks expensive but XLA tiles the
+        # k-reduction without materializing it; a double-argsort
+        # reformulation (2 sorts of the last axis) measured 5% SLOWER
+        # end-to-end on v5e - TPU sorts lose to fused compare-reduce.
+        slot_j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
         A = dc[..., :, :, None]                          # (..., r, k, 1)
         B = dc[..., :, None, :]                          # (..., r, 1, j)
         k_lt_j = slot < slot_j                           # (k, j) index order

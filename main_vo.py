@@ -53,6 +53,14 @@ def main(argv=None):
                     help="write per-frame filter-score + ambiguity "
                          "distribution files (reference "
                          "RECORD_FILTER_DISTRIBUTIONS, definitions.h:61)")
+    ap.add_argument("--checkpoint_dir", default=None,
+                    help="save/resume pipeline state here (new capability; "
+                         "utils/checkpoint.py). An existing checkpoint is "
+                         "resumed automatically; already-processed frames "
+                         "are skipped.")
+    ap.add_argument("--checkpoint_every", type=int, default=25,
+                    help="checkpoint cadence in frames (with "
+                         "--checkpoint_dir)")
     args = ap.parse_args(argv)
 
     with open(args.config_file) as f:
@@ -106,6 +114,14 @@ def main(argv=None):
         from edge_based_visual_odometry_tpu.utils import debug_io as DIO
         rig_arrays = RigArrays.from_rig(rig)
 
+    resume_from = 0
+    if args.checkpoint_dir:
+        from edge_based_visual_odometry_tpu.utils import checkpoint as CKPT
+        if CKPT.restore_pipeline_state(args.checkpoint_dir, pipe):
+            resume_from = pipe.frame_idx
+            print(f"resumed from checkpoint at frame {resume_from}",
+                  flush=True)
+
     gt_traj = []
     t0 = time.time()
     n = 0
@@ -118,6 +134,9 @@ def main(argv=None):
             gt_pose = Pose(jnp.asarray(R_wc, jnp.float32),
                            jnp.asarray(t_wc, jnp.float32))
             gt_traj.append(gt_pose)
+        if n < resume_from:         # already in the restored trajectory
+            n += 1
+            continue
         kf_before = pipe.keyframe   # quads in tr reference THIS keyframe
         kf_idx_before = pipe.kf_index
         fr, tr = pipe.run_frame(sample.left, sample.right,
@@ -143,11 +162,19 @@ def main(argv=None):
                     f"inliers = {int(tr.inlier_count)} "
                     f"({float(tr.inlier_ratio):.3f})")
         print(msg, flush=True)
+        if (args.checkpoint_dir and args.checkpoint_every
+                and n % args.checkpoint_every == 0):
+            CKPT.save_pipeline_state(args.checkpoint_dir, pipe)
         if args.max_frames and n >= args.max_frames:
             break
 
+    if args.checkpoint_dir and n > resume_from:
+        CKPT.save_pipeline_state(args.checkpoint_dir, pipe)
+
     dt = time.time() - t0
-    print(f"\nprocessed {n} frames in {dt:.2f}s ({n / dt:.3f} frames/s)")
+    done = n - resume_from
+    print(f"\nprocessed {n} frames in {dt:.2f}s "
+          f"({max(done, 0) / dt:.3f} frames/s)")
 
     if pipe.stereo_metrics_log:
         avg = MET.average_stage_metrics(pipe.stereo_metrics_log)

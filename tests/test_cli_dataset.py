@@ -140,3 +140,37 @@ def test_main_vo_cli_dump_files(kitti_dir):
         al = open(amb).read().splitlines()
         assert al[2] == "num_candidates"
         assert len(al) > 3
+
+
+def test_main_vo_cli_checkpoint_resume(kitti_dir):
+    """--checkpoint_dir: run 2 of 3 frames, then resume and finish; the
+    resumed run must skip processed frames and produce the full
+    trajectory (utils/checkpoint.py wired into the production CLI)."""
+    root, cfg_path, seq = kitti_dir
+    out_dir = str(root / "out_ckpt")
+    ck_dir = str(root / "ckpt")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    base = [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                         "main_vo.py"),
+            "-c", str(cfg_path), "--max_edges", "1024",
+            "--output_dir", out_dir, "--checkpoint_dir", ck_dir,
+            "--checkpoint_every", "1"]
+    out = subprocess.run(base + ["--max_frames", "2"],
+                         capture_output=True, text=True, timeout=1500,
+                         env=env)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert os.path.exists(os.path.join(ck_dir, "state.npz"))
+
+    out2 = subprocess.run(base, capture_output=True, text=True,
+                          timeout=1500, env=env)
+    assert out2.returncode == 0, out2.stderr[-3000:]
+    assert "resumed from checkpoint at frame 2" in out2.stdout
+    assert "frame 2:" in out2.stdout          # only the third frame ran
+    assert "frame 1:" not in out2.stdout
+    traj = open(os.path.join(out_dir, "trajectory_tum.txt")).read()
+    assert len([l for l in traj.splitlines() if l.strip()]) == 3
+    m = json.load(open(os.path.join(out_dir, "metrics.json")))
+    assert m["frames"] == 3
+    assert m["ate_rmse"] < 0.2
