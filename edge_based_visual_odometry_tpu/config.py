@@ -103,9 +103,9 @@ class VOConfig:
     # lanes run gn_phase1_iters, then only the unconverged minority
     # (compacted to a gn_phase2_budget buffer) pays the remaining
     # iterations. 0 disables (single-phase, identical results).
-    gn_phase1_iters: int = 6
+    gn_phase1_iters: int = 4
     gn_phase2_budget: int = 16384
-    gn_tile: int = 48               # GN sampling tile (travel bound, px)
+    gn_tile: int = 40               # GN sampling tile (travel bound, px; 40 -> stride 10, window +-14)
 
     # --- GT supervision path (Stereo_Matches.cpp:146,228) ---
     gt_orient_exclusion_deg: float = 4.0       # omit edges near 0/±180 deg
@@ -137,7 +137,11 @@ class VOConfig:
     desc_patch_samples: int = 16    # 16x16 sampling grid
     desc_spatial_bins: int = 4      # 4x4 spatial cells
     desc_orient_bins: int = 8       # 8 orientation bins -> 128-D
-    desc_sample_spacing: float = 1.0
+    # 0.66 matches cv::SIFT's window at the reference's keypoint size=1
+    # (3*scale*(d+1)*sqrt(2)/2 ~= 5.3 px half-width; Stereo_Matches.cpp
+    # :669-675): 16 samples x 0.66 ~= 10.6 px. Measured on the GT
+    # fixture: temporal final recall 0.91 -> 0.98, ATE 0.020 -> 0.004 m.
+    desc_sample_spacing: float = 0.66
     desc_clip: float = 0.2
     desc_scale: float = 512.0
 

@@ -61,6 +61,11 @@ def main(argv=None):
     ap.add_argument("--checkpoint_every", type=int, default=25,
                     help="checkpoint cadence in frames (with "
                          "--checkpoint_dir)")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="override any VOConfig field (repeatable), e.g. "
+                         "--set gn_max_iter=10 --set ncc_thresh=0.5. The "
+                         "reference needs a rebuild for the same change "
+                         "(include/definitions.h).")
     args = ap.parse_args(argv)
 
     with open(args.config_file) as f:
@@ -91,6 +96,14 @@ def main(argv=None):
             max_refine_pairs=max(1024, 2 * n),
             ransac_max_iterations=min(vo_cfg.ransac_max_iterations,
                                       max(512, n // 4)))
+    for kv in args.set:
+        key, _, val = kv.partition("=")
+        cur = getattr(vo_cfg, key)     # AttributeError on unknown field
+        if isinstance(cur, bool):
+            parsed = val.lower() in ("1", "true", "yes")
+        else:
+            parsed = type(cur)(val)
+        vo_cfg = dataclasses.replace(vo_cfg, **{key: parsed})
 
     out_dir = args.output_dir or cfg_yaml.get("output_dir", "./outputs")
     os.makedirs(out_dir, exist_ok=True)
