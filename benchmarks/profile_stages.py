@@ -125,5 +125,55 @@ def main():
     print(f"ransac+refine:   {bench(pose, pq):8.2f} ms", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--ablate" not in sys.argv:
     main()
+
+
+def ablate():
+    """Config-probe decomposition of the composed steps: time the stereo/
+    temporal steps under configs that stub out one cost center each
+    (methodology from round 1: only composed-step timings are trustworthy
+    on the remote-compile platform; isolated jits mislead)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from edge_based_visual_odometry_tpu.config import VOConfig
+    from edge_based_visual_odometry_tpu.io import synthetic as S
+    from edge_based_visual_odometry_tpu.models import pipeline as PL
+
+    H, W = 376, 1241
+    seq = S.make_sequence(n_frames=2, h=H, w=W)
+    base = VOConfig()
+    variants = {
+        "base": base,
+        "gn_iter1": dataclasses.replace(base, gn_max_iter=1,
+                                        gn_phase1_iters=0),
+        "refine_budget_1k": dataclasses.replace(base, max_refine_pairs=1024),
+        "cand_16": dataclasses.replace(base, max_candidates=16),
+        "no_cluster_cap": dataclasses.replace(base, max_cluster_size=0),
+        "quad_cand_12": dataclasses.replace(base, max_quad_candidates=12),
+    }
+    l0 = jnp.asarray(seq.frames[0].left)
+    r0 = jnp.asarray(seq.frames[0].right)
+    l1 = jnp.asarray(seq.frames[1].left)
+    r1 = jnp.asarray(seq.frames[1].right)
+    I = jnp.eye(3, dtype=jnp.float32)
+    z = jnp.zeros((3,), jnp.float32)
+    for name, cfg in variants.items():
+        sstep = PL.build_stereo_step(seq.rig, cfg, has_gt=False)
+        tstep = PL.build_temporal_step(seq.rig, cfg, use_gt=False)
+        kf = jax.block_until_ready(sstep(l0, r0))
+        cf = jax.block_until_ready(sstep(l1, r1))
+        jax.block_until_ready(tstep(kf.mates, kf.frame, cf.mates, cf.frame,
+                                    I, z, jnp.int32(0)))
+        s_ms = bench(sstep, l1, r1, n=6)
+        t_ms = bench(lambda *a: tstep(*a, I, z, jnp.int32(0)),
+                     kf.mates, kf.frame, cf.mates, cf.frame, n=6)
+        print(f"{name:18s} stereo {s_ms:7.1f} ms   temporal {t_ms:7.1f} ms",
+              flush=True)
+
+
+if __name__ == "__main__" and "--ablate" in sys.argv:
+    sys.exit(ablate())

@@ -38,6 +38,12 @@ class WindowBAConfig:
     # weight of the stereo-triangulation landmark prior (1/sigma^2 with
     # sigma ~ 0.2 m); essential for 2-view low-parallax tracks
     prior_weight: float = 25.0
+    # landmark depth sanity bounds (camera frame, meters at rig scale):
+    # near-zero-disparity stereo triangulations explode to huge depths and
+    # ill-condition the Schur solve (observed: NaN poses poisoning the
+    # whole trajectory). Out-of-range observations are skipped.
+    min_depth: float = 1e-2
+    max_depth: float = 1e3
 
 
 class WindowBA:
@@ -79,6 +85,11 @@ class WindowBA:
         ly = np.asarray(mates.left_y)
         lt = np.asarray(mates.left_theta)
         gamma = np.asarray(mates.gamma)
+        # drop degenerate triangulations (see WindowBAConfig depth bounds)
+        depth_ok = (np.isfinite(gamma).all(axis=-1)
+                    & (gamma[:, 2] > self.cfg.min_depth)
+                    & (gamma[:, 2] < self.cfg.max_depth))
+        valid = valid & depth_ok
 
         tracks: Dict[int, int] = {}
         if links is not None and self.kf_tracks:
@@ -223,6 +234,18 @@ class WindowBA:
                 p, n_iters=self.cfg.n_iters, damping=self.cfg.damping,
                 huber=self.cfg.huber))
         res = self._solver(prob)
+
+        # a diverged solve (ill-conditioned Schur system) must not poison
+        # the odometry: reject non-finite results and keep the incoming
+        # poses (the VO loop treats None as "no BA correction")
+        R_all = np.asarray(res.R[:Kn])
+        t_all = np.asarray(res.t[:Kn])
+        if not (np.isfinite(R_all).all() and np.isfinite(t_all).all()
+                and np.isfinite(float(res.cost_history[-1]))):
+            import warnings
+            warnings.warn("WindowBA: solve diverged (non-finite result); "
+                          "keeping odometry poses", stacklevel=2)
+            return None
 
         poses = []
         for k in range(Kn):

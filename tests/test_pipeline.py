@@ -68,3 +68,22 @@ def test_pipeline_with_windowed_ba():
     assert n_chained > 50, f"only {n_chained} chained tracks"
     ate = MET.ate_rmse(pipe.trajectory, gt, align=False)
     assert ate < 0.06, f"BA trajectory ATE {ate:.4f}"
+
+
+def test_pipeline_ba_composes_with_adaptive_policy():
+    """VERDICT r1 item 6: windowed BA must work under the 'adaptive'
+    re-keyframing policy, not just 'every_frame'. Forcing the quality
+    gate (min_inlier_ratio > 1) makes every frame re-keyframe through
+    the ADAPTIVE branch, exercising the same track chaining."""
+    seq = S.make_sequence(n_frames=3, h=240, w=320)
+    pipe = PL.VOPipeline(rig=seq.rig, cfg=CFG, ba_window=3,
+                         keyframe_policy="adaptive",
+                         rekeyframe_min_inlier_ratio=1.01)
+    gt = []
+    for f in seq.frames:
+        gt.append(geom.Pose(jnp.asarray(f.R, jnp.float32),
+                            jnp.asarray(f.t, jnp.float32)))
+        pipe.run_frame(f.left, f.right)
+    assert len(pipe.wba.kf_poses) == 3
+    ate = MET.ate_rmse(pipe.trajectory, gt, align=False)
+    assert ate < 0.06, f"adaptive+BA trajectory ATE {ate:.4f}"

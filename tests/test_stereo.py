@@ -102,3 +102,44 @@ def test_stereo_matches_against_gt_without_supervision(scene):
     gt = f.disparity[np.round(ly).astype(int), np.round(lx).astype(int)]
     frac_good = (np.abs(est - gt) < 1.0).mean()
     assert frac_good > 0.7, f"only {frac_good:.2%} within 1 px of GT disparity"
+
+
+def test_bnb_keep_matches_sorted_reference():
+    """The sort-free BNB reduction must equal the reference's
+    sorted-streak semantics (Stereo_Matches.cpp:789-862) on random data,
+    including negative NCC scores, ties, and sparse masks."""
+    import numpy as np
+
+    from edge_based_visual_odometry_tpu.models.stereo_matcher import _bnb_keep
+
+    def sorted_streak(scores, mask, thresh, higher_better):
+        out = np.zeros_like(mask)
+        for r in range(scores.shape[0]):
+            idx = [j for j in range(scores.shape[1]) if mask[r, j]]
+            if len(idx) < 2:
+                out[r] = mask[r]
+                continue
+            idx.sort(key=lambda j: -scores[r, j] if higher_better
+                     else scores[r, j])
+            best = scores[r, idx[0]]
+            out[r, idx[0]] = True
+            for j in idx[1:]:
+                ratio = (scores[r, j] / best) if higher_better \
+                    else (best / scores[r, j])
+                if best != 0.0 and ratio >= thresh:
+                    out[r, j] = True
+                else:
+                    break
+        return out
+
+    rng = np.random.default_rng(7)
+    for higher in (True, False):
+        for _ in range(5):
+            s = rng.uniform(-1 if higher else 0.01, 1 if higher else 600,
+                            (64, 12)).astype(np.float32)
+            s[rng.random((64, 12)) < 0.1] = 0.5   # inject ties
+            m = rng.random((64, 12)) < 0.7
+            ref = sorted_streak(s, m, 0.8, higher)
+            got = np.asarray(_bnb_keep(jnp.asarray(s), jnp.asarray(m),
+                                       0.8, higher))
+            np.testing.assert_array_equal(got, ref)
