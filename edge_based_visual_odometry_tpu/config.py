@@ -119,6 +119,10 @@ class VOConfig:
     gather_slots: int = 160         # raw grid-gather slots before compaction
     max_mates: int = 8192           # finalized stereo mates capacity
     max_refine_pairs: int = 65536   # flat (row, cand) capacity for GN/post-NCC
+    max_gate_pairs: int = 393216    # flat capacity for the desc/NCC gate
+    # stages (must cover measured post-orientation pairs: ~274k at KITTI
+    # res; chunk skipping makes the budget tail nearly free)
+    gate_chunk: int = 8192          # pairs per chunk in the flat gate stages
     max_quad_candidates: int = 24   # per-KF-mate temporal candidate capacity
     quad_gather_slots: int = 576    # raw temporal grid-gather slots (total)
     max_pose_quads: int = 16384     # flat quad budget for RANSAC scoring

@@ -161,3 +161,18 @@ def dryrun_multichip(n_devices: int, h: int = 64, w: int = 96) -> None:
     jax.block_until_ready(out)
     assert out.R.shape == (B, 3, 3)
     assert np.isfinite(float(out.mean_inlier_ratio))
+
+    # Also exercise the sharded windowed-BA path (landmark/observation
+    # axes sharded over the same mesh, Schur blocks psum-reduced over
+    # ICI): a 3-frame VO loop with ba_window=2 runs the full in-loop
+    # solve on the mesh, not just the pair step.
+    from edge_based_visual_odometry_tpu.models.pipeline import VOPipeline
+    pipe = VOPipeline(rig=rig, cfg=cfg, ba_window=2, ba_mesh=mesh)
+    seq3 = S.make_sequence(n_frames=3, h=h, w=w)
+    for f in seq3.frames:
+        pipe.run_frame(f.left, f.right)
+    assert len(pipe.trajectory) == 3
+    for pose in pipe.trajectory:
+        assert np.isfinite(np.asarray(pose.R)).all()
+        assert np.isfinite(np.asarray(pose.t)).all()
+    assert pipe.wba.kf_poses, "BA window never populated"
