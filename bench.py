@@ -90,6 +90,20 @@ def main():
     tr = jax.block_until_ready(temporal_step(
         kf.mates, kf.frame, cf.mates, cf.frame, I, z, jnp.int32(42)))
 
+    # WORKLOAD GUARD: a TPU miscompile once silently zeroed all stereo
+    # matches, so the cascade ran empty and the "benchmark" timed a
+    # near-empty program (round-1 postmortem, benchmarks/NOTES.md). Never
+    # report a number without proving the full workload is loaded.
+    n_mates = int(kf.mates.count)
+    n_quads = int(tr.n_quads)
+    if n_mates < 1000 or n_quads < 500:
+        print(json.dumps({
+            "metric": "kitti_res_frames_per_s_single_chip",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"workload collapsed: mates={n_mates} quads={n_quads}"
+            " (miscompile guard; see benchmarks/NOTES.md)"}))
+        return 1
+
     left2 = jnp.asarray(seq.frames[2].left)
     right2 = jnp.asarray(seq.frames[2].right)
     jax.block_until_ready(stereo_step(left2, right2))
@@ -122,6 +136,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
     }))
+    print(f"workload: mates={n_mates} quads={n_quads} "
+          f"inlier_ratio={float(tr.inlier_ratio):.3f}", file=sys.stderr)
     return 0
 
 

@@ -148,12 +148,13 @@ def ablate():
     base = VOConfig()
     variants = {
         "base": base,
+        "gn_chunk_2048": dataclasses.replace(base, gn_chunk=2048),
+        "refine_131k": dataclasses.replace(base, max_refine_pairs=131072),
+        "gate_chunk_16k": dataclasses.replace(base, gate_chunk=16384),
+        "sample_chunk_1k": dataclasses.replace(base, sample_chunk=1024),
         "gn_iter1": dataclasses.replace(base, gn_max_iter=1,
                                         gn_phase1_iters=0),
         "refine_budget_1k": dataclasses.replace(base, max_refine_pairs=1024),
-        "cand_16": dataclasses.replace(base, max_candidates=16),
-        "no_cluster_cap": dataclasses.replace(base, max_cluster_size=0),
-        "quad_cand_12": dataclasses.replace(base, max_quad_candidates=12),
     }
     l0 = jnp.asarray(seq.frames[0].left)
     r0 = jnp.asarray(seq.frames[0].right)

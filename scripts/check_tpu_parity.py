@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""CPU-vs-TPU cascade parity check: the silent-miscompile detector.
+
+Twice in this project's history the remote TPU compiler silently broke a
+stage of the stereo cascade (an einsum constant-folding bug zeroed all
+epipolar gates; see geometry.epipolar_lines and benchmarks/NOTES.md)
+while CPU results stayed correct, so every CPU test passed and only the
+end-to-end counts revealed the damage. This script runs one small
+synthetic frame pair through the FULL stereo + temporal steps on both
+backends and diffs the per-stage survival counts and final outputs.
+
+Usage (from the repo root, on a host with the TPU attached):
+    python scripts/check_tpu_parity.py
+
+Exit code 0 = backends agree; 1 = divergence (prints the first stage
+that differs). The child processes select their backend via the
+_VO_PARITY_BACKEND env var (sitecustomize pre-imports jax, so the
+selection must be a jax.config.update, not an env var).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_backend(backend: str) -> dict:
+    env = dict(os.environ)
+    env["_VO_PARITY_BACKEND"] = backend
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                          "--child"], env=env, cwd=REPO,
+                         capture_output=True, text=True, timeout=3600)
+    if out.returncode != 0:
+        raise RuntimeError(f"{backend} child failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def child() -> int:
+    sys.path.insert(0, REPO)
+    backend = os.environ["_VO_PARITY_BACKEND"]
+    import jax
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from edge_based_visual_odometry_tpu.config import VOConfig
+    from edge_based_visual_odometry_tpu.io import synthetic as S
+    from edge_based_visual_odometry_tpu.models import pipeline as PL
+
+    seq = S.make_sequence(n_frames=2, h=240, w=320)
+    cfg = dataclasses.replace(
+        VOConfig(), max_edges=8192, max_mates=4096, max_refine_pairs=16384,
+        max_gate_pairs=65536, max_pose_quads=4096)
+    sstep = PL.build_stereo_step(seq.rig, cfg, has_gt=False)
+    tstep = PL.build_temporal_step(seq.rig, cfg, use_gt=False)
+    kf = sstep(jnp.asarray(seq.frames[0].left),
+               jnp.asarray(seq.frames[0].right))
+    cf = sstep(jnp.asarray(seq.frames[1].left),
+               jnp.asarray(seq.frames[1].right))
+    I = jnp.eye(3, dtype=jnp.float32)
+    z = jnp.zeros((3,), jnp.float32)
+    tr = tstep(kf.mates, kf.frame, cf.mates, cf.frame, I, z, jnp.int32(0))
+    n = int(kf.mates.count)
+    lx = np.asarray(kf.mates.left_x)[:n]
+    print(json.dumps({
+        "backend": backend,
+        "edges": [int(kf.n_left_edges), int(kf.n_right_edges)],
+        "stereo_pairs": [int(r[1]) for r in np.asarray(kf.stereo_metrics)],
+        "temporal_pairs": [int(r[1])
+                           for r in np.asarray(tr.temporal_metrics)],
+        "mates": n,
+        "quads": int(tr.n_quads),
+        "inlier_ratio": round(float(tr.inlier_ratio), 4),
+        "mate_x_sum": round(float(lx.sum()), 1),
+    }))
+    return 0
+
+
+def main() -> int:
+    cpu = run_backend("cpu")
+    tpu = run_backend("tpu")
+    print("cpu:", json.dumps(cpu))
+    print("tpu:", json.dumps(tpu))
+    ok = True
+    for key in ("edges", "mates", "quads"):
+        a, b = cpu[key], tpu[key]
+        same = a == b if key == "edges" else (
+            min(a, b) > 0.97 * max(a, b))
+        if not same:
+            print(f"DIVERGENCE at {key}: cpu={a} tpu={b}")
+            ok = False
+    for key in ("stereo_pairs", "temporal_pairs"):
+        for i, (a, b) in enumerate(zip(cpu[key], tpu[key])):
+            if min(a, b) < 0.95 * max(a, b) - 5:
+                print(f"DIVERGENCE at {key}[{i}]: cpu={a} tpu={b}")
+                ok = False
+                break
+    print("PARITY OK" if ok else "PARITY FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(child() if "--child" in sys.argv else main())
