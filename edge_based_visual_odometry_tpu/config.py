@@ -123,6 +123,9 @@ class VOConfig:
     # stages (must cover measured post-orientation pairs: ~274k at KITTI
     # res; chunk skipping makes the budget tail nearly free)
     gate_chunk: int = 8192          # pairs per chunk in the flat gate stages
+    gate_layout: str = "flat"       # "flat" (active-pair list) | "dense"
+    # ((N, C) row chunks) for the desc/NCC gate stages; identical results,
+    # dense kept as a fallback/bisect arm for TPU-compiler issues
     max_quad_candidates: int = 24   # per-KF-mate temporal candidate capacity
     quad_gather_slots: int = 576    # raw temporal grid-gather slots (total)
     max_pose_quads: int = 16384     # flat quad budget for RANSAC scoring

@@ -454,31 +454,46 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         scale=cfg.desc_scale, chunk=cfg.sample_chunk,
         active=right_edges.valid)
 
-    # ---- stage 4: descriptor gate (ref :691-787) on the FLAT active-pair
-    # list: post-orientation ambiguity averages ~11 of C=32 slots at KITTI
-    # resolution, so dense (N, C) work is ~3x padding. Compacting to
-    # (row, slot) pairs (as the GN stage already does) makes the cost
-    # scale with measured pairs; chunk skipping frees the budget tail. ----
+    # ---- stage 4: descriptor gate (ref :691-787). Two layouts:
+    #   "flat" (default): post-orientation ambiguity averages ~11 of C=32
+    #     slots at KITTI resolution, so dense (N, C) work is ~3x padding.
+    #     Compact active (row, slot) pairs to a flat list (as the GN stage
+    #     does); cost scales with measured pairs, chunk skipping frees the
+    #     budget tail.
+    #   "dense": the row-chunked (N, C) formulation, kept as a one-flag
+    #     fallback/bisect arm for TPU-compiler issues (the remote compiler
+    #     has silently miscompiled cascade stages before; NOTES.md).
+    # Results are identical for live slots under both layouts. ----
     from edge_based_visual_odometry_tpu.ops import tiled_sampling as TS
 
+    flat_gates = cfg.gate_layout == "flat"
     gate_budget = min(cfg.max_gate_pairs, N * C)
-    rows4, slots4, fmask4 = _flatten_active(state.cmask, gate_budget)
-    ridx4 = state.cand_idx[rows4, slots4]
+    if flat_gates:
+        rows4, slots4, fmask4 = _flatten_active(state.cmask, gate_budget)
+        ridx4 = state.cand_idx[rows4, slots4]
 
-    def _desc_chunk(args):
-        rows_c, ridx_c = args
-        d = DESC.min_cross_distance_dot(l_desc[rows_c],
-                                        r_desc[ridx_c][:, None])
-        return d[:, 0]
+        def _desc_chunk(args):
+            rows_c, ridx_c = args
+            d = DESC.min_cross_distance_dot(l_desc[rows_c],
+                                            r_desc[ridx_c][:, None])
+            return d[:, 0]
 
-    ddist_flat = TS.map_chunked(_desc_chunk, (rows4, ridx4),
-                                gate_budget, cfg.gate_chunk,
-                                active=fmask4)
-    # inactive slots get 2*threshold (the state init), i.e. gated off --
-    # they were already cmask=False
-    ddist = _scatter_back(jnp.full((N, C), 2.0 * cfg.sift_threshold,
-                                   jnp.float32),
-                          rows4, slots4, fmask4, ddist_flat)
+        ddist_flat = TS.map_chunked(_desc_chunk, (rows4, ridx4),
+                                    gate_budget, cfg.gate_chunk,
+                                    active=fmask4)
+        # inactive slots get 2*threshold (the state init), i.e. gated off
+        # -- they were already cmask=False
+        ddist = _scatter_back(jnp.full((N, C), 2.0 * cfg.sift_threshold,
+                                       jnp.float32),
+                              rows4, slots4, fmask4, ddist_flat)
+    else:
+        def _desc_chunk_dense(args):
+            idx_c, ld_c = args
+            return DESC.min_cross_distance_dot(ld_c, r_desc[idx_c])
+
+        ddist = TS.map_chunked(_desc_chunk_dense, (state.cand_idx, l_desc),
+                               N, cfg.sample_chunk,
+                               active=jnp.any(state.cmask, axis=1))
     snap_filter("sift_distance", state, ddist)
     state = state._replace(
         cmask=state.cmask & (ddist < cfg.sift_threshold),
@@ -499,25 +514,41 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     r_patches = jnp.stack([rp_p, rp_m], axis=1)
     r_patch_ok = jnp.stack([rok_p, rok_m], axis=1)
 
-    # ---- stage 5: NCC (ref :555-616) on the flat active-pair list,
-    # re-flattened so the SIFT gate's kills are excluded from the work ----
-    rows5, slots5, fmask5 = _flatten_active(state.cmask, gate_budget)
-    ridx5 = state.cand_idx[rows5, slots5]
+    # ---- stage 5: NCC (ref :555-616), same two layouts as stage 4;
+    # the flat list is re-flattened so the SIFT gate's kills are excluded
+    # from the work ----
+    if flat_gates:
+        rows5, slots5, fmask5 = _flatten_active(state.cmask, gate_budget)
+        ridx5 = state.cand_idx[rows5, slots5]
 
-    def _ncc_chunk(args):
-        rows_c, ridx_c = args
-        lp_c = l_patches[rows_c]                       # (b, 2, 49)
-        lok_c = l_patch_ok[rows_c]
-        cp = r_patches[ridx_c]
-        cok = r_patch_ok[ridx_c]
-        return P.ncc4(lp_c[:, 0], lp_c[:, 1], lok_c[:, 0], lok_c[:, 1],
-                      cp[:, 0], cp[:, 1], cok[:, 0], cok[:, 1])
+        def _ncc_chunk(args):
+            rows_c, ridx_c = args
+            lp_c = l_patches[rows_c]                   # (b, 2, 49)
+            lok_c = l_patch_ok[rows_c]
+            cp = r_patches[ridx_c]
+            cok = r_patch_ok[ridx_c]
+            return P.ncc4(lp_c[:, 0], lp_c[:, 1], lok_c[:, 0], lok_c[:, 1],
+                          cp[:, 0], cp[:, 1], cok[:, 0], cok[:, 1])
 
-    sim_flat = TS.map_chunked(_ncc_chunk, (rows5, ridx5),
-                              gate_budget, cfg.gate_chunk,
-                              active=fmask5)
-    sim = _scatter_back(jnp.full((N, C), -1.0, jnp.float32),
-                        rows5, slots5, fmask5, sim_flat)
+        sim_flat = TS.map_chunked(_ncc_chunk, (rows5, ridx5),
+                                  gate_budget, cfg.gate_chunk,
+                                  active=fmask5)
+        sim = _scatter_back(jnp.full((N, C), -1.0, jnp.float32),
+                            rows5, slots5, fmask5, sim_flat)
+    else:
+        def _ncc_chunk_dense(args):
+            idx_c, lp_c, lok_c = args
+            cp = r_patches[idx_c]                      # (b, C, 2, 49)
+            cok = r_patch_ok[idx_c]
+            return P.ncc4(lp_c[:, None, 0], lp_c[:, None, 1],
+                          lok_c[:, None, 0], lok_c[:, None, 1],
+                          cp[:, :, 0], cp[:, :, 1],
+                          cok[:, :, 0], cok[:, :, 1])
+
+        sim = TS.map_chunked(_ncc_chunk_dense,
+                             (state.cand_idx, l_patches, l_patch_ok),
+                             N, cfg.sample_chunk,
+                             active=jnp.any(state.cmask, axis=1))
     snap_filter("ncc", state, sim)
     state = state._replace(cmask=state.cmask & (sim > cfg.ncc_thresh),
                            ncc=sim)

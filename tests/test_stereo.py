@@ -143,3 +143,30 @@ def test_bnb_keep_matches_sorted_reference():
             got = np.asarray(_bnb_keep(jnp.asarray(s), jnp.asarray(m),
                                        0.8, higher))
             np.testing.assert_array_equal(got, ref)
+
+
+def test_gate_layouts_equal():
+    """The flat (active-pair list) and dense ((N, C) row-chunk) gate
+    layouts must produce identical cascade results (the dense arm is the
+    fallback/bisect path for TPU-compiler issues)."""
+    import dataclasses
+
+    from edge_based_visual_odometry_tpu.io import synthetic as S
+    from edge_based_visual_odometry_tpu.models import pipeline as PL
+
+    seq = S.make_sequence(n_frames=1, h=240, w=320)
+    outs = {}
+    for layout in ("flat", "dense"):
+        cfg = dataclasses.replace(CFG, gate_layout=layout)
+        step = PL.build_stereo_step(seq.rig, cfg, has_gt=False)
+        outs[layout] = step(jnp.asarray(seq.frames[0].left),
+                            jnp.asarray(seq.frames[0].right))
+    a, b = outs["flat"], outs["dense"]
+    assert int(a.mates.count) == int(b.mates.count) > 100
+    n = int(a.mates.count)
+    np.testing.assert_allclose(np.asarray(a.mates.left_x)[:n],
+                               np.asarray(b.mates.left_x)[:n])
+    np.testing.assert_allclose(np.asarray(a.mates.right_x)[:n],
+                               np.asarray(b.mates.right_x)[:n], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.stereo_metrics)[:, :2],
+                                  np.asarray(b.stereo_metrics)[:, :2])
