@@ -53,6 +53,11 @@ def main(argv=None):
                     help="write per-frame filter-score + ambiguity "
                          "distribution files (reference "
                          "RECORD_FILTER_DISTRIBUTIONS, definitions.h:61)")
+    ap.add_argument("--save_viz", action="store_true",
+                    help="after the run, render every recognized dump in the "
+                         "output dir to PNG figures under <output_dir>/viz "
+                         "(offline analysis suite, viz/; replaces the "
+                         "reference's MATLAB scripts)")
     ap.add_argument("--checkpoint_dir", default=None,
                     help="save/resume pipeline state here (new capability; "
                          "utils/checkpoint.py). An existing checkpoint is "
@@ -210,6 +215,10 @@ def main(argv=None):
             json.dump({"ate_rmse": ate, "rpe_trans": rpe_t,
                        "rpe_rot_deg": rpe_r, "frames": n,
                        "frames_per_s": n / dt}, f, indent=2)
+
+    if args.save_viz:
+        from edge_based_visual_odometry_tpu.viz.__main__ import _render_all
+        _render_all(out_dir, os.path.join(out_dir, "viz"))
     return 0
 
 

@@ -284,10 +284,15 @@ def test_pose_quality_matches_reference(ref_run, our_run, fixture_tree):
     assert our_run["inlier_ratio"] is not None
     assert our_run["inlier_ratio"] >= ref_run["inlier_ratio"] - 0.15
 
-    # reference rotation estimate within 1 deg of the synthetic GT motion
+    # Sanity: the reference solves the fixture's motion. Loose bound only -
+    # the reference's OpenMP cascade merges thread-local candidate lists in
+    # nondeterministic order (Stereo_Matches.cpp:772-776), so its PROSAC
+    # ordering and hence RANSAC pose wobbles run-to-run (observed ~1 deg
+    # swings on this 120x160 fixture); a broken fixture would be tens of
+    # degrees.
     if ref_run["R_est"] is not None:
         ref_err = _rot_angle_deg(ref_run["R_est"] @ R_rel_gt.T)
-        assert ref_err < 1.0, ref_err
+        assert ref_err < 5.0, ref_err
 
     # our trajectory against the same GT (written by the CLI run)
     import json
