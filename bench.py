@@ -74,6 +74,10 @@ def main():
 
     seq = S.make_sequence(n_frames=3, h=H, w=W)
     cfg = VOConfig()
+    layout = os.environ.get("_VO_BENCH_LAYOUT")
+    if layout:                   # miscompile fallback (scripts/tpu_window.py)
+        import dataclasses
+        cfg = dataclasses.replace(cfg, gate_layout=layout)
     stereo_step = PL.build_stereo_step(seq.rig, cfg, has_gt=False)
     temporal_step = PL.build_temporal_step(seq.rig, cfg, use_gt=False)
 

@@ -26,9 +26,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_backend(backend: str) -> dict:
+def run_backend(backend: str, layout: str = None) -> dict:
     env = dict(os.environ)
     env["_VO_PARITY_BACKEND"] = backend
+    if layout:
+        env["_VO_PARITY_LAYOUT"] = layout
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
     out = subprocess.run([sys.executable, os.path.abspath(__file__),
                           "--child"], env=env, cwd=REPO,
@@ -57,6 +59,9 @@ def child() -> int:
     cfg = dataclasses.replace(
         VOConfig(), max_edges=8192, max_mates=4096, max_refine_pairs=16384,
         max_gate_pairs=65536, max_pose_quads=4096)
+    layout = os.environ.get("_VO_PARITY_LAYOUT")
+    if layout:
+        cfg = dataclasses.replace(cfg, gate_layout=layout)
     sstep = PL.build_stereo_step(seq.rig, cfg, has_gt=False)
     tstep = PL.build_temporal_step(seq.rig, cfg, use_gt=False)
     kf = sstep(jnp.asarray(seq.frames[0].left),
@@ -83,8 +88,12 @@ def child() -> int:
 
 
 def main() -> int:
-    cpu = run_backend("cpu")
-    tpu = run_backend("tpu")
+    layout = None
+    for a in sys.argv[1:]:
+        if a.startswith("--layout="):
+            layout = a.split("=", 1)[1]
+    cpu = run_backend("cpu", layout)
+    tpu = run_backend("tpu", layout)
     print("cpu:", json.dumps(cpu))
     print("tpu:", json.dumps(tpu))
     ok = True
