@@ -132,6 +132,45 @@ def build_sharded_pair_step(rig: StereoRig, cfg: VOConfig, mesh: Mesh):
                    out_shardings=out_shardings)
 
 
+def analyze_production_memory(n_devices: int = 8, h: int = 376,
+                              w: int = 1241,
+                              cfg: Optional[VOConfig] = None,
+                              hbm_budget_gib: float = 16.0) -> dict:
+    """AOT-compile the sharded pair step at PRODUCTION shapes (default:
+    KITTI 376x1241, production VOConfig budgets) on an n-device mesh and
+    report XLA's per-device memory analysis - no execution, so it runs on
+    the virtual CPU mesh. Answers the question dryrun_multichip's tiny
+    shapes cannot: does one frame-pair per device fit per-device HBM?
+
+    Returns {'argument_mib', 'output_mib', 'temp_mib', 'total_mib',
+    'fits_hbm'} with sizes in MiB per device (hbm_budget_gib defaults to
+    a v5e chip's 16 GiB).
+    """
+    cfg = cfg or VOConfig()
+    from edge_based_visual_odometry_tpu.io import synthetic as S
+
+    rig = S.default_rig(h, w)
+    mesh = make_mesh(n_devices)
+    step = build_sharded_pair_step(rig, cfg, mesh)
+
+    B = n_devices
+    img = jax.ShapeDtypeStruct((B, h, w), jnp.float32)
+    R0 = jax.ShapeDtypeStruct((B, 3, 3), jnp.float32)
+    t0 = jax.ShapeDtypeStruct((B, 3), jnp.float32)
+    seeds = jax.ShapeDtypeStruct((B,), jnp.int32)
+    compiled = step.lower(img, img, img, img, R0, t0, seeds).compile()
+    ma = compiled.memory_analysis()
+    mib = 1024.0 * 1024.0
+    out = {
+        "argument_mib": ma.argument_size_in_bytes / mib,
+        "output_mib": ma.output_size_in_bytes / mib,
+        "temp_mib": ma.temp_size_in_bytes / mib,
+    }
+    out["total_mib"] = sum(out.values())
+    out["fits_hbm"] = out["total_mib"] < hbm_budget_gib * 1024.0
+    return out
+
+
 def dryrun_multichip(n_devices: int, h: int = 64, w: int = 96) -> None:
     """Compile + execute the full sharded pipeline step on an n-device
     mesh with tiny shapes (driver entry; see __graft_entry__.py)."""

@@ -4,6 +4,7 @@ jax.make_array_from_process_local_data + sharded step + measurement,
 on the 8-device CPU mesh (conftest.py sets the platform flags)."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -38,3 +39,19 @@ def test_run_multihost_main_single_process():
     assert res["devices"] == 8
     assert res["hosts"] == 1
     assert res["frame_pairs_per_s"] > 0
+
+
+@pytest.mark.slow
+def test_production_shapes_fit_hbm():
+    """AOT memory analysis of the sharded pair step at PRODUCTION KITTI
+    shapes (376x1241, full VOConfig budgets) on the 8-device mesh: the
+    per-device footprint must fit a v5e chip's 16 GiB HBM (VERDICT r1:
+    tiny-shape dryruns prove nothing about production HBM fit). Compile
+    only - no execution - so the virtual CPU mesh suffices."""
+    from edge_based_visual_odometry_tpu.parallel import mesh as PM
+
+    r = PM.analyze_production_memory(8)
+    assert r["fits_hbm"], r
+    # sanity: the analysis saw a real program, not a trivially-DCE'd one
+    assert r["temp_mib"] > 100, r
+    assert r["total_mib"] < 4096, r   # headroom guard: <4 GiB/device
