@@ -72,15 +72,27 @@ def _quat_to_R(qw, qx, qy, qz):
 def _iter_path_pairs(pairs: List[Tuple[str, str]],
                      metas: List[StereoSample],
                      image_hw: Optional[Tuple[int, int]] = None,
-                     prefetch: bool = True) -> Iterator[StereoSample]:
+                     prefetch: bool = True,
+                     start: int = 0) -> Iterator[StereoSample]:
     """Decode (left, right) path pairs into the pre-built StereoSample
     shells. With `image_hw` and the native loader available, decode runs
     on background C++ threads ahead of consumption (io/native/loader.cpp)
     so host I/O overlaps device compute - the reference's
     producer/consumer split (Stereo_Iterator.cpp:58-80). Falls back to
     synchronous cv2/PIL decode otherwise. Decode failures skip the frame
-    either way (reference behavior, Stereo_Iterator.cpp:74)."""
+    either way (reference behavior, Stereo_Iterator.cpp:74).
+
+    `start`: checkpoint-resume offset - the first `start` samples are
+    yielded METADATA-ONLY (timestamps/GT, left/right = None, no image
+    decode): the consumer skips them anyway, and decoding thousands of
+    pre-resume PNGs wastes minutes of startup I/O."""
+    if start:
+        for s in metas[:start]:
+            yield s
+        pairs = pairs[start:]
+        metas = metas[start:]
     if prefetch and image_hw is not None:
+        yielded = 0
         try:
             from edge_based_visual_odometry_tpu.io import native_loader as NL
             if NL.native_available():
@@ -90,15 +102,35 @@ def _iter_path_pairs(pairs: List[Tuple[str, str]],
                         s = metas[idx]
                         s.left, s.right = left, right
                         yield s
+                        yielded += 1
                 finally:
                     loader.close()
-                return
+                if yielded or not pairs:
+                    return
+                # Every native decode failed - typically the rig resolution
+                # in the YAML differs from the actual image dims (the
+                # native decoder enforces the rig size; cv2/PIL don't).
+                # Don't finish a silent empty run: fall back to sync decode.
+                import sys
+                print(f"warning: native loader decoded 0 of {len(pairs)} "
+                      "pairs (image dims != rig resolution?); falling back "
+                      "to synchronous decode", file=sys.stderr)
         except Exception:
-            pass   # fall through to synchronous decode
+            # Fall back to synchronous decode ONLY if nothing was yielded
+            # yet: restarting from pair 0 after a mid-iteration failure
+            # would deliver duplicate frames to the VO loop.
+            if yielded:
+                raise
+    n_bad = 0
     for (lp, rp), s in zip(pairs, metas):
         left = _imread_gray(lp)
         right = _imread_gray(rp)
         if left is None or right is None:
+            n_bad += 1
+            if n_bad <= 3:
+                import sys
+                print(f"warning: failed to decode stereo pair "
+                      f"({lp}, {rp}); skipping", file=sys.stderr)
             continue
         s.left, s.right = left, right
         yield s
@@ -106,7 +138,8 @@ def _iter_path_pairs(pairs: List[Tuple[str, str]],
 
 def iter_kitti(sequence_path: str, gt_path: str = "",
                image_hw: Optional[Tuple[int, int]] = None,
-               prefetch: bool = True) -> Iterator[StereoSample]:
+               prefetch: bool = True,
+               start: int = 0) -> Iterator[StereoSample]:
     """KITTI odometry grayscale pairs (ref :84-184)."""
     left_dir = os.path.join(sequence_path, "image_0")
     n = len([f for f in os.listdir(left_dir) if f.endswith(".png")])
@@ -128,7 +161,7 @@ def iter_kitti(sequence_path: str, gt_path: str = "",
                                    [v[8], v[9], v[10]]])
                 s.gt_t = np.array([v[3], v[7], v[11]])
         metas.append(s)
-    return _iter_path_pairs(pairs, metas, image_hw, prefetch)
+    return _iter_path_pairs(pairs, metas, image_hw, prefetch, start)
 
 
 def _load_euroc_gt(gt_csv: str, R_f2b: np.ndarray, t_f2b: np.ndarray):
@@ -173,7 +206,8 @@ def _nearest_pose(poses, ts: float):
 def iter_euroc(seq_path: str, R_frame2body: Optional[np.ndarray] = None,
                t_frame2body: Optional[np.ndarray] = None,
                image_hw: Optional[Tuple[int, int]] = None,
-               prefetch: bool = True) -> Iterator[StereoSample]:
+               prefetch: bool = True,
+               start: int = 0) -> Iterator[StereoSample]:
     """EuRoC MAV format with GT alignment (ref :18-78, :633-665)."""
     base = os.path.join(seq_path, "mav0")
     csv_path = os.path.join(base, "cam0", "data.csv")
@@ -197,33 +231,40 @@ def iter_euroc(seq_path: str, R_frame2body: Optional[np.ndarray] = None,
             if p is not None:
                 s.gt_R, s.gt_t = p[1], p[2]
             metas.append(s)
-    return _iter_path_pairs(pairs, metas, image_hw, prefetch)
+    return _iter_path_pairs(pairs, metas, image_hw, prefetch, start)
 
 
-def iter_eth3d_stereo(seq_path: str) -> Iterator[StereoSample]:
+def iter_eth3d_stereo(seq_path: str,
+                      start: int = 0) -> Iterator[StereoSample]:
     """ETH3D two-view folders with GT disparity PFMs + occlusion masks
-    (ref :189-301; disparity loading Dataset.cpp:208-316)."""
+    (ref :189-301; disparity loading Dataset.cpp:208-316). The first
+    `start` samples are metadata-only (checkpoint resume; see
+    _iter_path_pairs)."""
     pairs_path = os.path.join(seq_path, "stereo_pairs")
     folders = sorted(
         os.path.join(pairs_path, d) for d in os.listdir(pairs_path)
         if os.path.isdir(os.path.join(pairs_path, d)))
     for k, folder in enumerate(folders):
-        left = _imread_gray(os.path.join(folder, "im0.png"))
-        right = _imread_gray(os.path.join(folder, "im1.png"))
-        if left is None or right is None:
-            continue
+        skip_decode = k < start
+        if skip_decode:
+            left = right = None
+        else:
+            left = _imread_gray(os.path.join(folder, "im0.png"))
+            right = _imread_gray(os.path.join(folder, "im1.png"))
+            if left is None or right is None:
+                continue
         s = StereoSample(left=left, right=right, timestamp=float(k))
         for attr, name in (("left_disparity", "disp0GT.pfm"),
                            ("right_disparity", "disp1GT.pfm")):
             p = os.path.join(folder, name)
-            if os.path.exists(p):
+            if not skip_decode and os.path.exists(p):
                 setattr(s, attr, read_pfm(p))
         # Non-occlusion masks: 255 = visible in both views
         # (LoadETH3DOcclusionMasks, Dataset.cpp:226 - mask{0,1}nocc.png)
         for attr, name in (("left_occlusion", "mask0nocc.png"),
                            ("right_occlusion", "mask1nocc.png")):
             p = os.path.join(folder, name)
-            if os.path.exists(p):
+            if not skip_decode and os.path.exists(p):
                 setattr(s, attr, _imread_gray(p))
         # COLMAP-style images.txt GT for im0 (ref :245-301). COLMAP
         # stores WORLD->CAM (x_cam = R x_world + t); StereoSample.gt_* is
@@ -249,7 +290,8 @@ def iter_eth3d_stereo(seq_path: str) -> Iterator[StereoSample]:
 
 def iter_eth3d_slam(seq_path: str,
                     image_hw: Optional[Tuple[int, int]] = None,
-                    prefetch: bool = True) -> Iterator[StereoSample]:
+                    prefetch: bool = True,
+                    start: int = 0) -> Iterator[StereoSample]:
     """ETH3D SLAM format: rgb.txt lists the RIGHT camera (rgb/), rgb2/ is
     the LEFT camera (ref :441-443); TUM groundtruth.txt aligned by nearest
     timestamp (ref :353-420)."""
@@ -282,7 +324,7 @@ def iter_eth3d_slam(seq_path: str,
         if p is not None:
             s.gt_R, s.gt_t = p[1], p[2]
         metas.append(s)
-    return _iter_path_pairs(pairs, metas, image_hw, prefetch)
+    return _iter_path_pairs(pairs, metas, image_hw, prefetch, start)
 
 
 def make_iterator(dataset_type: str, dataset_dir: str, sequence_name: str,
@@ -290,7 +332,8 @@ def make_iterator(dataset_type: str, dataset_dir: str, sequence_name: str,
                   R_frame2body: Optional[np.ndarray] = None,
                   t_frame2body: Optional[np.ndarray] = None,
                   image_hw: Optional[Tuple[int, int]] = None,
-                  prefetch: bool = True) -> Iterator[StereoSample]:
+                  prefetch: bool = True,
+                  start: int = 0) -> Iterator[StereoSample]:
     """Factory mirroring Dataset::load_dataset (src/Dataset.cpp:158-206).
 
     `image_hw`: (height, width) of the rig's images; enables the native
@@ -304,11 +347,12 @@ def make_iterator(dataset_type: str, dataset_dir: str, sequence_name: str,
         if gt_file_path:
             seq_id = sequence_name.rsplit("/", 1)[-1]
             gt_file = os.path.join(dataset_dir, gt_file_path, seq_id + ".txt")
-        return iter_kitti(seq, gt_file, image_hw, prefetch)
+        return iter_kitti(seq, gt_file, image_hw, prefetch, start)
     if dataset_type == "EuRoC":
-        return iter_euroc(seq, R_frame2body, t_frame2body, image_hw, prefetch)
+        return iter_euroc(seq, R_frame2body, t_frame2body, image_hw,
+                          prefetch, start)
     if dataset_type == "ETH3D_stereo":
-        return iter_eth3d_stereo(seq)
+        return iter_eth3d_stereo(seq, start)
     if dataset_type == "ETH3D_slam":
-        return iter_eth3d_slam(seq, image_hw, prefetch)
+        return iter_eth3d_slam(seq, image_hw, prefetch, start)
     raise ValueError(f"unknown dataset_type {dataset_type!r}")

@@ -81,6 +81,7 @@ class PrefetchLoader:
         self._h, self._w = height, width
         self._n = len(pairs)
         self._consumed = 0
+        self.skipped = 0          # decode failures (bad file OR dims != rig)
         lefts = (ctypes.c_char_p * self._n)(
             *[p[0].encode() for p in pairs])
         rights = (ctypes.c_char_p * self._n)(
@@ -103,8 +104,17 @@ class PrefetchLoader:
             if idx == -1:
                 break
             if idx == -2:
-                continue   # decode failure: skip (reference behavior,
-                           # Stereo_Iterator.cpp:74)
+                # decode failure: warn + skip (reference print-and-continue,
+                # Stereo_Iterator.cpp:74). loader.cpp also returns -2 when
+                # the decoded dimensions differ from the rig resolution.
+                self.skipped += 1
+                if self.skipped <= 3:
+                    import sys
+                    print(f"warning: native decode failed for pair "
+                          f"{self._consumed - 1} (bad file or image dims != "
+                          f"rig resolution {self._h}x{self._w}); skipping",
+                          file=sys.stderr)
+                continue
             return idx, left, right
         raise StopIteration
 

@@ -206,6 +206,7 @@ class VOPipeline:
                                 mesh=self.ba_mesh)
         self.keyframe: Optional[FrameResult] = None
         self.kf_index = 0                                # frame index of the KF
+        self._ba_kf_frames = []       # frame index of each BA-window keyframe
         self.kf_pose_gt: Optional[geom.Pose] = None      # world->cam GT
         self.kf_pose_est = geom.Pose.identity()          # world->cam estimate
         self.trajectory = []                             # per-frame (R, t) world->cam
@@ -253,6 +254,7 @@ class VOPipeline:
             self.prev_cam_pose = self.kf_pose_est
             if self.wba is not None:
                 self.wba.add_keyframe(fr.mates, self.kf_pose_est)
+                self._ba_kf_frames.append(self.frame_idx)
         else:
             if self.use_gt_pose:
                 rel = geom.relative_pose(self.kf_pose_gt, gt_pose)
@@ -284,11 +286,19 @@ class VOPipeline:
                         best_links_from_quads)
                     self.wba.add_keyframe(fr.mates, cam_pose,
                                           best_links_from_quads(tr))
+                    self._ba_kf_frames.append(self.frame_idx)
                     out = self.wba.run()
                     if out is not None:
                         poses, _ = out
-                        # refresh the trajectory tail + current estimate
-                        self.trajectory[-len(poses):] = poses
+                        # Refresh the KEYFRAME entries of the trajectory +
+                        # the current estimate. Under 'adaptive' keyframes
+                        # are a sparse subset of frames, so write back at
+                        # the recorded keyframe frame indices - NOT the
+                        # trajectory tail (intermediate frames keep their
+                        # original relative estimates).
+                        for fi, p in zip(self._ba_kf_frames[-len(poses):],
+                                         poses):
+                            self.trajectory[fi] = p
                         self.kf_pose_est = poses[-1]
             else:
                 self.last_rel = vel.compose(rel_est)

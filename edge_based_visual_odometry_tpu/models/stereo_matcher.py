@@ -178,8 +178,12 @@ def _flatten_active(cmask, max_pairs: int):
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
     lin = jnp.arange(N * C, dtype=jnp.int32)
     # distinct OOB targets for dropped entries: unique_indices=True is a
-    # promise, and duplicated (even dropped) indices are UB on TPU
-    tgt = jnp.where(flat, pos, max_pairs + lin)
+    # promise, and duplicated (even dropped) indices are UB on TPU.
+    # Inactive targets start at N*C (not max_pairs): active overflow
+    # positions pos in [max_pairs, N*C) would collide with max_pairs+lin
+    # whenever actives exceed capacity, which the measured KITTI workload
+    # does (91k BNB-SIFT survivors vs 65536; benchmarks/NOTES.md).
+    tgt = jnp.where(flat, pos, N * C + lin)
     slot_of = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(
         lin, mode="drop", unique_indices=True)
     n_active = jnp.minimum(pos[-1] + 1, max_pairs)
@@ -242,7 +246,12 @@ def derive_gather_band(rig, cfg: VOConfig) -> float:
     ty = np.abs(a) / norm                   # unit direction y-component
     delta = np.abs(a * pts[ok, 0] + b * pts[ok, 1] + c) / norm
     delta = np.minimum(delta, D)            # beyond D: no candidates at all
-    dy = delta * ny + np.sqrt(np.maximum(D * D - delta * delta, 0.0)) * ty
+    # chord half-length at the NEAR edge of the strip (|n.u| >= delta-eps):
+    # sqrt(D^2 - delta^2) alone is not an upper bound near delta ~= D,
+    # where sqrt(D^2 - (delta-eps)^2) ~= sqrt(2 D eps) can exceed the
+    # +eps+1 slack (e.g. ~5 px at D=25, eps=0.5)
+    d_near = np.maximum(delta - eps, 0.0)
+    dy = delta * ny + np.sqrt(np.maximum(D * D - d_near * d_near, 0.0)) * ty
     ry = (float(dy.max()) if dy.size else 0.0) + eps + 1.0
     return float(max(4.0, min(ry, H / 2.0)))
 
@@ -481,9 +490,14 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         ddist_flat = TS.map_chunked(_desc_chunk, (rows4, ridx4),
                                     gate_budget, cfg.gate_chunk,
                                     active=fmask4)
-        # inactive slots get 2*threshold (the state init), i.e. gated off
-        # -- they were already cmask=False
-        ddist = _scatter_back(jnp.full((N, C), 2.0 * cfg.sift_threshold,
+        # Template value = just-passing: slots NOT in the flat list are
+        # either cmask=False (the AND below keeps them dead regardless) or
+        # ACTIVE pairs beyond the gate_budget overflow - those must remain
+        # alive unscored (the dense layout scores everything), not be
+        # silently killed; at threshold level they still lose BNB against
+        # well-scored siblings.
+        ddist = _scatter_back(jnp.full((N, C),
+                                       cfg.sift_threshold * (1.0 - 1e-6),
                                        jnp.float32),
                               rows4, slots4, fmask4, ddist_flat)
     else:
@@ -533,7 +547,9 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         sim_flat = TS.map_chunked(_ncc_chunk, (rows5, ridx5),
                                   gate_budget, cfg.gate_chunk,
                                   active=fmask5)
-        sim = _scatter_back(jnp.full((N, C), -1.0, jnp.float32),
+        # just-passing template for budget-overflow actives (see stage 4)
+        sim = _scatter_back(jnp.full((N, C), cfg.ncc_thresh + 1e-6,
+                                     jnp.float32),
                             rows5, slots5, fmask5, sim_flat)
     else:
         def _ncc_chunk_dense(args):
@@ -649,8 +665,10 @@ def _finalize(state: StereoState, frame: FrameData, rig: RigArrays,
     M = cfg.max_mates
     alive = state.row_mask
     pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
-    # distinct OOB targets (see _flatten_active)
-    tgt = jnp.where(alive, pos, M + jnp.arange(N, dtype=jnp.int32))
+    # distinct OOB targets (see _flatten_active): inactive targets start
+    # at N (not M) - alive rows can exceed M (measured 24k mates vs
+    # max_mates), and pos >= M would collide with M + i
+    tgt = jnp.where(alive, pos, N + jnp.arange(N, dtype=jnp.int32))
     count = jnp.minimum(pos[-1] + 1, M).astype(jnp.int32)
     row_of = jnp.zeros((M,), jnp.int32).at[tgt].set(
         jnp.arange(N, dtype=jnp.int32), mode="drop", unique_indices=True)

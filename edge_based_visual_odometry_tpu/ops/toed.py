@@ -215,8 +215,12 @@ def extract_edges(subpix_x, subpix_y, subpix_mag, orient, valid,
     # unique_indices=True is a promise to XLA, and aiming every dropped
     # entry at the same OOB index violates it - undefined behavior that
     # miscompiled on TPU (silent all-masked outputs at some shapes).
+    # (dropped targets start at the flat length, NOT max_edges: kept
+    # positions pos >= max_edges occur whenever the image has more edges
+    # than capacity - e.g. ~24k at KITTI res vs max_edges - and would
+    # collide with max_edges + lin)
     lin_ = jnp.arange(flat_keep.shape[0], dtype=jnp.int32)
-    tgt = jnp.where(flat_keep, pos, max_edges + lin_)
+    tgt = jnp.where(flat_keep, pos, flat_keep.shape[0] + lin_)
 
     def scatter(v):
         return jnp.zeros((max_edges,), v.dtype).at[tgt].set(

@@ -102,6 +102,8 @@ def save_pipeline_state(path: str, pipe) -> None:
     os.makedirs(path, exist_ok=True)
     meta = {
         "frame_idx": pipe.frame_idx,
+        "kf_index": pipe.kf_index,
+        "ba_kf_frames": list(pipe._ba_kf_frames),
         "n_traj": len(pipe.trajectory),
         "has_keyframe": pipe.keyframe is not None,
         "has_kf_pose_gt": pipe.kf_pose_gt is not None,
@@ -148,6 +150,8 @@ def restore_pipeline_state(path: str, pipe) -> bool:
     data = dict(np.load(npz_path))
 
     pipe.frame_idx = int(meta["frame_idx"])
+    pipe.kf_index = int(meta.get("kf_index", 0))
+    pipe._ba_kf_frames = [int(i) for i in meta.get("ba_kf_frames", [])]
     pipe.trajectory = [
         Pose(jnp.asarray(data[f"traj_R_{i}"]), jnp.asarray(data[f"traj_t_{i}"]))
         for i in range(int(meta["n_traj"]))]

@@ -113,14 +113,6 @@ def main(argv=None):
     out_dir = args.output_dir or cfg_yaml.get("output_dir", "./outputs")
     os.makedirs(out_dir, exist_ok=True)
 
-    it = datasets.make_iterator(
-        dataset_type, cfg_yaml["dataset_dir"], cfg_yaml["sequence_name"],
-        cfg_yaml.get("gt_file_path", ""),
-        np.asarray(rig.rot_frame2body) if rig.rot_frame2body else None,
-        np.asarray(rig.transl_frame2body) if rig.transl_frame2body else None,
-        image_hw=(rig.left.height, rig.left.width),
-        prefetch=not args.no_prefetch)
-
     pipe = PL.VOPipeline(rig=rig, cfg=vo_cfg,
                          has_gt_disparity=has_gt_disparity,
                          use_gt_pose=args.use_gt_pose,
@@ -139,6 +131,16 @@ def main(argv=None):
             resume_from = pipe.frame_idx
             print(f"resumed from checkpoint at frame {resume_from}",
                   flush=True)
+
+    # resume_from makes the iterator skip image decode for the frames the
+    # restored trajectory already covers (metadata/GT still yielded)
+    it = datasets.make_iterator(
+        dataset_type, cfg_yaml["dataset_dir"], cfg_yaml["sequence_name"],
+        cfg_yaml.get("gt_file_path", ""),
+        np.asarray(rig.rot_frame2body) if rig.rot_frame2body else None,
+        np.asarray(rig.transl_frame2body) if rig.transl_frame2body else None,
+        image_hw=(rig.left.height, rig.left.width),
+        prefetch=not args.no_prefetch, start=resume_from)
 
     gt_traj = []
     t0 = time.time()
@@ -214,7 +216,9 @@ def main(argv=None):
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
             json.dump({"ate_rmse": ate, "rpe_trans": rpe_t,
                        "rpe_rot_deg": rpe_r, "frames": n,
-                       "frames_per_s": n / dt}, f, indent=2)
+                       "frames_processed": max(done, 0),
+                       # resumed (skipped) frames must not inflate fps
+                       "frames_per_s": max(done, 0) / dt}, f, indent=2)
 
     if args.save_viz:
         from edge_based_visual_odometry_tpu.viz.__main__ import _render_all

@@ -87,3 +87,43 @@ def test_pipeline_ba_composes_with_adaptive_policy():
     assert len(pipe.wba.kf_poses) == 3
     ate = MET.ate_rmse(pipe.trajectory, gt, align=False)
     assert ate < 0.06, f"adaptive+BA trajectory ATE {ate:.4f}"
+
+
+@pytest.mark.slow
+def test_pipeline_ba_writeback_sparse_keyframes():
+    """BA trajectory write-back under SPARSE adaptive re-keyframing:
+    refined keyframe poses must land at the keyframes' own frame indices,
+    and intermediate frames must keep their original estimates (the old
+    code wrote the keyframe poses over the trajectory TAIL, corrupting
+    intermediate frames whenever keyframes are not every frame)."""
+    small = VOConfig(max_edges=1024, max_candidates=8, gather_slots=64,
+                     max_mates=512, max_refine_pairs=1024,
+                     max_quad_candidates=8, quad_gather_slots=144,
+                     ransac_max_iterations=256, gn_max_iter=4)
+    seq = S.make_sequence(n_frames=5, h=120, w=160)
+    pipe = PL.VOPipeline(rig=seq.rig, cfg=small, ba_window=3,
+                         keyframe_policy="adaptive")
+    # deterministic sparse policy: re-keyframe at frames 2 and 4 only
+    pipe._should_rekeyframe = lambda tr: pipe.frame_idx in (2, 4)
+
+    snap = {}
+    for k, f in enumerate(seq.frames):
+        pipe.run_frame(f.left, f.right)
+        if k == 3:   # intermediate frame between the two re-keyframes
+            snap[3] = (np.asarray(pipe.trajectory[3].R).copy(),
+                       np.asarray(pipe.trajectory[3].t).copy())
+
+    assert pipe._ba_kf_frames == [0, 2, 4]
+    assert len(pipe.trajectory) == 5
+    # intermediate frame 3's pose was not clobbered by a keyframe pose
+    np.testing.assert_array_equal(np.asarray(pipe.trajectory[3].R), snap[3][0])
+    np.testing.assert_array_equal(np.asarray(pipe.trajectory[3].t), snap[3][1])
+    # the newest keyframe's trajectory entry holds the BA-refined pose
+    # (kf_pose_est is set to poses[-1] right after the write-back)
+    np.testing.assert_allclose(np.asarray(pipe.trajectory[4].t),
+                               np.asarray(pipe.kf_pose_est.t), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pipe.trajectory[4].R),
+                               np.asarray(pipe.kf_pose_est.R), atol=1e-6)
+    for p in pipe.trajectory:
+        assert np.isfinite(np.asarray(p.R)).all()
+        assert np.isfinite(np.asarray(p.t)).all()
