@@ -108,9 +108,23 @@ def main():
             " (miscompile guard; see benchmarks/NOTES.md)"}))
         return 1
 
+    # frame 2 makes up half the timed loop: guard its workload too (a
+    # content-dependent collapse on one rendered frame would otherwise
+    # inflate every other timed iteration)
     left2 = jnp.asarray(seq.frames[2].left)
     right2 = jnp.asarray(seq.frames[2].right)
-    jax.block_until_ready(stereo_step(left2, right2))
+    cf2 = jax.block_until_ready(stereo_step(left2, right2))
+    tr2 = jax.block_until_ready(temporal_step(
+        kf.mates, kf.frame, cf2.mates, cf2.frame, I, z, jnp.int32(43)))
+    n_mates2 = int(cf2.mates.count)
+    n_quads2 = int(tr2.n_quads)
+    if n_mates2 < 1000 or n_quads2 < 500:
+        print(json.dumps({
+            "metric": "kitti_res_frames_per_s_single_chip",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"frame-2 workload collapsed: mates={n_mates2} "
+            f"quads={n_quads2} (miscompile guard)"}))
+        return 1
 
     # timed loop: one full frame = stereo step + temporal/pose vs keyframe.
     # Content alternates between two distinct rendered frames so

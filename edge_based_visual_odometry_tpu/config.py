@@ -152,6 +152,14 @@ class VOConfig:
     desc_clip: float = 0.2
     desc_scale: float = 512.0
 
+    def __post_init__(self):
+        # a perf-bisect knob that silently accepts garbage defeats its
+        # purpose: anything != "flat" would quietly select "dense"
+        if self.gate_layout not in ("flat", "dense"):
+            raise ValueError(
+                f"gate_layout must be 'flat' or 'dense', got "
+                f"{self.gate_layout!r}")
+
 
 @dataclasses.dataclass(frozen=True)
 class CameraConfig:

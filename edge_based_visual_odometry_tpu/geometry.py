@@ -84,6 +84,18 @@ def skew(t: jnp.ndarray) -> jnp.ndarray:
     return rows
 
 
+def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues exp map for (..., 3) -> (..., 3, 3). Single shared
+    implementation for the pose-refinement GN (models/motion_tracker.py)
+    and the windowed-BA retraction (models/ba.py)."""
+    theta = jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+    k = w / theta
+    kx = skew(k)
+    th = theta[..., None]
+    I = jnp.eye(3, dtype=w.dtype)
+    return I + jnp.sin(th) * kx + (1 - jnp.cos(th)) * (kx @ kx)
+
+
 def quat_to_R(q: jnp.ndarray) -> jnp.ndarray:
     """(qw, qx, qy, qz) -> rotation matrix; normalizes first."""
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)

@@ -57,6 +57,10 @@ class StereoSample:
     right_disparity: Optional[np.ndarray] = None
     left_occlusion: Optional[np.ndarray] = None
     right_occlusion: Optional[np.ndarray] = None
+    # absolute position in the dataset's FILE list (decode failures make
+    # this differ from the processed-frame count; checkpoint resume keys
+    # on it so skipped bad files cannot desync the restart point)
+    file_idx: int = -1
 
 
 def _quat_to_R(qw, qx, qy, qz):
@@ -82,10 +86,13 @@ def _iter_path_pairs(pairs: List[Tuple[str, str]],
     synchronous cv2/PIL decode otherwise. Decode failures skip the frame
     either way (reference behavior, Stereo_Iterator.cpp:74).
 
-    `start`: checkpoint-resume offset - the first `start` samples are
-    yielded METADATA-ONLY (timestamps/GT, left/right = None, no image
-    decode): the consumer skips them anyway, and decoding thousands of
-    pre-resume PNGs wastes minutes of startup I/O."""
+    `start`: checkpoint-resume offset in FILE-LIST positions - the first
+    `start` samples are yielded METADATA-ONLY (timestamps/GT, left/right
+    = None, no image decode): the consumer skips them anyway, and
+    decoding thousands of pre-resume PNGs wastes minutes of startup
+    I/O."""
+    for i, s in enumerate(metas):
+        s.file_idx = i
     if start:
         for s in metas[:start]:
             yield s
@@ -189,11 +196,15 @@ def _load_euroc_gt(gt_csv: str, R_f2b: np.ndarray, t_f2b: np.ndarray):
     return poses
 
 
-def _nearest_pose(poses, ts: float):
-    """Nearest-timestamp GT lookup (ref :594-627)."""
+def _nearest_pose(poses, ts: float, times=None):
+    """Nearest-timestamp GT lookup (ref :594-627). Callers looping over
+    frames should pass `times` = [p[0] for p in poses] computed ONCE:
+    rebuilding it per call makes GT alignment O(n_frames * n_gt_rows)
+    (~70M list ops on EuRoC's 200 Hz ground truth)."""
     if not poses:
         return None
-    times = [p[0] for p in poses]
+    if times is None:
+        times = [p[0] for p in poses]
     import bisect
     i = bisect.bisect_left(times, ts)
     if i >= len(poses):
@@ -215,6 +226,7 @@ def iter_euroc(seq_path: str, R_frame2body: Optional[np.ndarray] = None,
     R_f2b = np.eye(3) if R_frame2body is None else np.asarray(R_frame2body)
     t_f2b = np.zeros(3) if t_frame2body is None else np.asarray(t_frame2body)
     poses = _load_euroc_gt(gt_csv, R_f2b, t_f2b) if os.path.exists(gt_csv) else []
+    gt_times = [p[0] for p in poses]
 
     pairs, metas = [], []
     with open(csv_path) as f:
@@ -227,7 +239,7 @@ def iter_euroc(seq_path: str, R_frame2body: Optional[np.ndarray] = None,
             pairs.append((os.path.join(base, "cam0", "data", ts_str + ".png"),
                           os.path.join(base, "cam1", "data", ts_str + ".png")))
             s = StereoSample(left=None, right=None, timestamp=float(ts_str))
-            p = _nearest_pose(poses, float(ts_str))
+            p = _nearest_pose(poses, float(ts_str), gt_times)
             if p is not None:
                 s.gt_R, s.gt_t = p[1], p[2]
             metas.append(s)
@@ -253,7 +265,8 @@ def iter_eth3d_stereo(seq_path: str,
             right = _imread_gray(os.path.join(folder, "im1.png"))
             if left is None or right is None:
                 continue
-        s = StereoSample(left=left, right=right, timestamp=float(k))
+        s = StereoSample(left=left, right=right, timestamp=float(k),
+                          file_idx=k)
         for attr, name in (("left_disparity", "disp0GT.pfm"),
                            ("right_disparity", "disp1GT.pfm")):
             p = os.path.join(folder, name)
@@ -315,12 +328,13 @@ def iter_eth3d_slam(seq_path: str,
                     R = _quat_to_R(tok[7], tok[4], tok[5], tok[6])
                     poses.append((tok[0], R, np.array(tok[1:4])))
         poses.sort(key=lambda p: p[0])
+    gt_times = [p[0] for p in poses]
     pairs, metas = [], []
     for ts, filename in image_list:
         pairs.append((os.path.join(seq_path, "rgb2", filename[4:]),
                       os.path.join(seq_path, filename)))
         s = StereoSample(left=None, right=None, timestamp=ts)
-        p = _nearest_pose(poses, ts)
+        p = _nearest_pose(poses, ts, gt_times)
         if p is not None:
             s.gt_R, s.gt_t = p[1], p[2]
         metas.append(s)

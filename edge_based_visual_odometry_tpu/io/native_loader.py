@@ -24,9 +24,16 @@ _build_failed = False
 
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(
-            os.path.join(_DIR, "loader.cpp")):
-        return ctypes.CDLL(_SO)
+    try:
+        # loader.cpp may be absent in a source-stripped install: use the
+        # prebuilt .so rather than raising from getmtime
+        src = os.path.join(_DIR, "loader.cpp")
+        if os.path.exists(_SO) and (
+                not os.path.exists(src)
+                or os.path.getmtime(_SO) >= os.path.getmtime(src)):
+            return ctypes.CDLL(_SO)
+    except OSError:
+        pass
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-o", _SO,

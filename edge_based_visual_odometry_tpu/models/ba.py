@@ -28,6 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from edge_based_visual_odometry_tpu.geometry import so3_exp as _so3_exp
+
 
 class BAProblem(NamedTuple):
     R: jnp.ndarray         # (K, 3, 3) world->cam
@@ -58,19 +60,6 @@ class BAResult(NamedTuple):
     X: jnp.ndarray
     cost_history: jnp.ndarray   # (n_iters + 1,) weighted mean sq px error
 
-
-def _so3_exp(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues exp map for (..., 3) -> (..., 3, 3)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    theta = jnp.maximum(theta, 1e-12)
-    k = w / theta
-    kx = jnp.zeros(w.shape[:-1] + (3, 3), w.dtype)
-    kx = kx.at[..., 0, 1].set(-k[..., 2]).at[..., 0, 2].set(k[..., 1])
-    kx = kx.at[..., 1, 0].set(k[..., 2]).at[..., 1, 2].set(-k[..., 0])
-    kx = kx.at[..., 2, 0].set(-k[..., 1]).at[..., 2, 1].set(k[..., 0])
-    th = theta[..., None]
-    I = jnp.eye(3, dtype=w.dtype)
-    return I + jnp.sin(th) * kx + (1 - jnp.cos(th)) * (kx @ kx)
 
 
 def _residuals_and_jacobians(p: BAProblem):
@@ -188,7 +177,10 @@ def run_ba(p: BAProblem, n_iters: int = 10, damping: float = 1e-4,
     (pf,), costs = jax.lax.scan(body, (p,), None, length=n_iters)
     r, _, _ = _residuals_and_jacobians(pf)
     rn = jnp.linalg.norm(r, axis=-1)
-    final_cost = (jnp.sum(pf.obs_w * rn * rn)
+    # Huber-weight the final entry exactly like ba_iteration's per-iter
+    # costs, so cost_history is a comparable series end to end
+    w = pf.obs_w * jnp.minimum(1.0, huber / jnp.maximum(rn, 1e-12))
+    final_cost = (jnp.sum(w * rn * rn)
                   / jnp.maximum(jnp.sum(pf.obs_w), 1.0))
     return BAResult(R=pf.R, t=pf.t, X=pf.X,
                     cost_history=jnp.concatenate([costs,

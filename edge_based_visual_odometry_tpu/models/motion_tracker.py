@@ -28,24 +28,6 @@ from edge_based_visual_odometry_tpu.models.temporal_matcher import TemporalQuads
 from edge_based_visual_odometry_tpu.models.types import RigArrays, StereoMates
 
 
-def skew_batch(v: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3) -> (..., 3, 3) skew matrices."""
-    z = jnp.zeros_like(v[..., 0])
-    return jnp.stack([
-        jnp.stack([z, -v[..., 2], v[..., 1]], -1),
-        jnp.stack([v[..., 2], z, -v[..., 0]], -1),
-        jnp.stack([-v[..., 1], v[..., 0], z], -1)], -2)
-
-
-def _so3_exp_single(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues exp for a single (3,) vector."""
-    theta = jnp.maximum(jnp.linalg.norm(w), 1e-12)
-    k = w / theta
-    kx = skew_batch(k)
-    return (jnp.eye(3, dtype=w.dtype) + jnp.sin(theta) * kx
-            + (1 - jnp.cos(theta)) * (kx @ kx))
-
-
 class PoseQuads(NamedTuple):
     """Flat lifted quads (Quad_for_Pose_Solution, MotionTracker.h:16-26)."""
 
@@ -166,6 +148,44 @@ CONSTRAINT_STAGE_NAMES = (
 )
 
 
+def _sample_quad_pairs(pq: PoseQuads, cfg: VOConfig, seed: int, K: int):
+    """PROSAC-style top-rank pair sampling (ref :202-205 rand() draws from
+    the top fraction; collision fix mirrors idx1 != idx2). Shared between
+    estimate_pose and constraint_sweep_metrics so the diagnostic sweep
+    always measures the gates RANSAC actually applies."""
+    key = jax.random.PRNGKey(seed)
+    top_n = jnp.maximum(
+        (cfg.ransac_top_rank_percentage * pq.n_valid).astype(jnp.int32), 2)
+    k1, k2 = jax.random.split(key)
+    idx1 = jax.random.randint(k1, (K,), 0, 1 << 30) % top_n
+    idx2 = jax.random.randint(k2, (K,), 0, 1 << 30) % top_n
+    idx2 = jnp.where(idx2 == idx1, (idx2 + 1) % top_n, idx2)
+    samples = (pq.gamma[idx1], pq.gamma_bar[idx1],
+               pq.tangent[idx1], pq.tangent_bar[idx1],
+               pq.gamma[idx2], pq.gamma_bar[idx2],
+               pq.tangent[idx2], pq.tangent_bar[idx2])
+    return idx1, idx2, samples
+
+
+def _constraint_gates(samples, cfg: VOConfig):
+    """The 4 rigid-motion invariance gates (Apply_*_Constraint,
+    ref :108-134; thresholds definitions.h:47-50). Returns (c1, c2, c3,
+    c4) boolean masks over the sampled pairs."""
+    g1, gb1, t1, tb1, g2, gb2, t2, tb2 = samples
+    dG = g2 - g1
+    dGb = gb2 - gb1
+    lG = jnp.linalg.norm(dG, axis=-1)
+    lGb = jnp.linalg.norm(dGb, axis=-1)
+    c1 = jnp.abs(lG - lGb) / lG < cfg.tau_c1
+    c2 = jnp.abs(jnp.abs(jnp.sum(dG * t1, -1) / lG)
+                 - jnp.abs(jnp.sum(dGb * tb1, -1) / lGb)) < cfg.tau_c2
+    c3 = jnp.abs(jnp.abs(jnp.sum(dG * t2, -1) / lG)
+                 - jnp.abs(jnp.sum(dGb * tb2, -1) / lGb)) < cfg.tau_c3
+    c4 = jnp.abs(jnp.abs(jnp.sum(t1 * t2, -1))
+                 - jnp.abs(jnp.sum(tb1 * tb2, -1))) < cfg.tau_c4
+    return c1, c2, c3, c4
+
+
 def constraint_sweep_metrics(pq: PoseQuads, cfg: VOConfig,
                              seed: int | None = None):
     """Diagnostic recall/precision of the 4 RANSAC constraint gates over
@@ -173,36 +193,12 @@ def constraint_sweep_metrics(pq: PoseQuads, cfg: VOConfig,
     src/MotionTracker.cpp:255-381). Uses pq.is_veridical (eval mode).
     Returns (5, 3) rows [recall, precision, n_surviving_veridical]
     aligned with CONSTRAINT_STAGE_NAMES."""
-    is_veridical = pq.is_veridical
     K = cfg.ransac_max_iterations
-    key = jax.random.PRNGKey(cfg.ransac_seed if seed is None else seed)
-    top_n = jnp.maximum(
-        (cfg.ransac_top_rank_percentage * pq.n_valid).astype(jnp.int32), 2)
-    k1, k2 = jax.random.split(key)
-    idx1 = jax.random.randint(k1, (K,), 0, 1 << 30) % top_n
-    idx2 = jax.random.randint(k2, (K,), 0, 1 << 30) % top_n
-    idx2 = jnp.where(idx2 == idx1, (idx2 + 1) % top_n, idx2)
-
-    g1, gb1 = pq.gamma[idx1], pq.gamma_bar[idx1]
-    t1, tb1 = pq.tangent[idx1], pq.tangent_bar[idx1]
-    g2, gb2 = pq.gamma[idx2], pq.gamma_bar[idx2]
-    t2, tb2 = pq.tangent[idx2], pq.tangent_bar[idx2]
-    ver = is_veridical[idx1] & is_veridical[idx2]
-
-    dG = g2 - g1
-    dGb = gb2 - gb1
-    lG = jnp.linalg.norm(dG, axis=-1)
-    lGb = jnp.linalg.norm(dGb, axis=-1)
-    gates = [
-        jnp.ones((K,), bool),
-        jnp.abs(lG - lGb) / lG < cfg.tau_c1,
-        jnp.abs(jnp.abs(jnp.sum(dG * t1, -1) / lG)
-                - jnp.abs(jnp.sum(dGb * tb1, -1) / lGb)) < cfg.tau_c2,
-        jnp.abs(jnp.abs(jnp.sum(dG * t2, -1) / lG)
-                - jnp.abs(jnp.sum(dGb * tb2, -1) / lGb)) < cfg.tau_c3,
-        jnp.abs(jnp.abs(jnp.sum(t1 * t2, -1))
-                - jnp.abs(jnp.sum(tb1 * tb2, -1))) < cfg.tau_c4,
-    ]
+    idx1, idx2, samples = _sample_quad_pairs(
+        pq, cfg, cfg.ransac_seed if seed is None else seed, K)
+    ver = pq.is_veridical[idx1] & pq.is_veridical[idx2]
+    c1, c2, c3, c4 = _constraint_gates(samples, cfg)
+    gates = [jnp.ones((K,), bool), c1, c2, c3, c4]
     init_ver = jnp.sum(ver)
     rows = []
     surviving = jnp.ones((K,), bool)
@@ -223,42 +219,11 @@ def estimate_pose(pq: PoseQuads, rig: RigArrays, cfg: VOConfig,
     (estimate_Relative_Pose_From_Quad_Pairs, ref :175-253)."""
     K = cfg.ransac_max_iterations
     seed = cfg.ransac_seed if seed is None else seed
-    key = jax.random.PRNGKey(seed)
-
-    top_n = jnp.maximum(
-        (cfg.ransac_top_rank_percentage * pq.n_valid).astype(jnp.int32), 2)
-    k1, k2 = jax.random.split(key)
-    idx1 = jax.random.randint(k1, (K,), 0, 1 << 30) % top_n
-    idx2 = jax.random.randint(k2, (K,), 0, 1 << 30) % top_n
-    idx2 = jnp.where(idx2 == idx1, (idx2 + 1) % top_n, idx2)
-
-    g1, gb1 = pq.gamma[idx1], pq.gamma_bar[idx1]
-    t1, tb1 = pq.tangent[idx1], pq.tangent_bar[idx1]
-    g2, gb2 = pq.gamma[idx2], pq.gamma_bar[idx2]
-    t2, tb2 = pq.tangent[idx2], pq.tangent_bar[idx2]
-
-    # --- constraint gates (ref :108-134; thresholds definitions.h:47-50) ---
-    dG = g2 - g1
-    dGb = gb2 - gb1
-    lG = jnp.linalg.norm(dG, axis=-1)
-    lGb = jnp.linalg.norm(dGb, axis=-1)
-    c1 = jnp.abs(lG - lGb) / lG < cfg.tau_c1
-
-    cosa = jnp.sum(dG * t1, -1) / lG
-    cosab = jnp.sum(dGb * tb1, -1) / lGb
-    c2 = jnp.abs(jnp.abs(cosa) - jnp.abs(cosab)) < cfg.tau_c2
-
-    cosb = jnp.sum(dG * t2, -1) / lG
-    cosbb = jnp.sum(dGb * tb2, -1) / lGb
-    c3 = jnp.abs(jnp.abs(cosb) - jnp.abs(cosbb)) < cfg.tau_c3
-
-    cost_ = jnp.sum(t1 * t2, -1)
-    costb = jnp.sum(tb1 * tb2, -1)
-    c4 = jnp.abs(jnp.abs(cost_) - jnp.abs(costb)) < cfg.tau_c4
-
+    idx1, idx2, samples = _sample_quad_pairs(pq, cfg, seed, K)
+    c1, c2, c3, c4 = _constraint_gates(samples, cfg)
     gate = c1 & c2 & c3 & c4
 
-    R, t = _pose_from_pair(g1, gb1, t1, tb1, g2, gb2, t2, tb2)
+    R, t = _pose_from_pair(*samples)
 
     # --- scoring (ref :155-173): chunked over hypotheses so the (K, Q)
     # reprojection matrix never materializes in HBM ---
@@ -272,7 +237,13 @@ def estimate_pose(pq: PoseQuads, rig: RigArrays, cfg: VOConfig,
                + Kt_c[:, None, :])
         uv = uvw[..., :2] / uvw[..., 2:3]
         err = jnp.linalg.norm(uv - pq.cf_left[None], axis=-1)
-        inl = (err < cfg.ransac_max_reproj_error) & pq.valid[None]
+        # cheirality: a behind-camera point whose doubly-negated
+        # projection lands near the target must not count as an inlier
+        # (mirror-pose guard; the reference divides by z unchecked,
+        # score_Pose_Hypothesis MotionTracker.cpp:161-163 - a true pose
+        # only has positive-depth quads, so this gate never hurts it)
+        inl = ((err < cfg.ransac_max_reproj_error) & pq.valid[None]
+               & (uvw[..., 2] > 1e-6))
         return jnp.sum(inl, axis=1)
 
     n_chunks = -(-K // chunk)
@@ -319,13 +290,13 @@ def estimate_pose(pq: PoseQuads, rig: RigArrays, cfg: VOConfig,
                 jnp.stack([fx * iz, jnp.zeros_like(z), -fx * Xc[:, 0] * iz2], -1),
                 jnp.stack([jnp.zeros_like(z), fy * iz, -fy * Xc[:, 1] * iz2], -1),
             ], axis=1)                                   # (Q, 2, 3)
-            Xh = skew_batch(Xc)
+            Xh = geom.skew(Xc)
             J_om = -jnp.einsum("qij,qjk->qik", Jp, Xh)
             J = jnp.concatenate([J_om, Jp], axis=-1)     # (Q, 2, 6)
             H = jnp.einsum("q,qia,qib->ab", w, J, J) + 1e-6 * jnp.eye(6)
             b = -jnp.einsum("q,qia,qi->a", w, J, r)
             dp = jnp.linalg.solve(H, b)
-            dR = _so3_exp_single(dp[:3])
+            dR = geom.so3_exp(dp[:3])
             ok = jnp.sum(w) >= 3
             Rn = jnp.where(ok, dR @ Rr, Rr)
             tn = jnp.where(ok, dR @ tr + dp[3:], tr)
@@ -339,7 +310,8 @@ def estimate_pose(pq: PoseQuads, rig: RigArrays, cfg: VOConfig,
         uvw = jnp.einsum("ij,qj->qi", rig.K_left, p)
         uv = uvw[:, :2] / uvw[:, 2:3]
         e = jnp.linalg.norm(uv - pq.cf_left, axis=-1)
-        cnt_f = jnp.sum((e < cfg.ransac_max_reproj_error) & pq.valid)
+        cnt_f = jnp.sum((e < cfg.ransac_max_reproj_error) & pq.valid
+                        & (uvw[:, 2] > 1e-6))   # cheirality (see scoring)
         finite = jnp.all(jnp.isfinite(Rr)) & jnp.all(jnp.isfinite(tr))
         ok_refined = finite & (cnt_f >= (0.8 * best_count).astype(cnt_f.dtype))
         R_best = jnp.where(success & ok_refined, Rr, R_best)

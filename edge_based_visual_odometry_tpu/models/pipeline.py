@@ -46,8 +46,10 @@ class FrameResult(NamedTuple):
     n_left_edges: jnp.ndarray
     n_right_edges: jnp.ndarray
     # filter/ambiguity distributions (reference RECORD_FILTER_DISTRIBUTIONS
-    # surface); empty unless the step was built with record_distributions
-    distributions: dict = {}
+    # surface); None unless the step was built with record_distributions
+    # (None, not {}: a shared mutable class-level default dict would alias
+    # across every default-constructed FrameResult)
+    distributions: Optional[dict] = None
 
 
 class TemporalResult(NamedTuple):

@@ -30,7 +30,6 @@ get_Stereo_Edge_GT_Pairs / Evaluate_Stereo_Edge_Correspondences
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -95,17 +94,6 @@ def _metrics(state: StereoState, dist_to_gt: float):
     precision_pair = jnp.sum(jnp.where(has_cand, prec_edge, 0.0)) / rows_with
     ambiguity = jnp.sum(jnp.where(has_cand, n_cand, 0)) / rows_with
     return jnp.stack([recall, precision, precision_pair, ambiguity])
-
-
-def _scan_gather(data, idx):
-    """Memory-bounded gather data[idx] for (N, C) idx over (M, ...) data:
-    scans over candidate slots so only one (N, ...) slice is live at a
-    time (avoids materializing (N, C, ...) for wide payloads)."""
-    def step(_, idx_col):
-        return None, data[idx_col]
-    _, out = jax.lax.scan(step, None, idx.T)
-    # out: (C, N, ...) -> (N, C, ...)
-    return jnp.moveaxis(out, 0, 1)
 
 
 def _bnb_keep(scores, mask, ratio_thresh: float, higher_better: bool):
@@ -594,6 +582,13 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         tile=cfg.gn_tile, chunk=cfg.gn_chunk, active=fmask,
         phase1_iters=cfg.gn_phase1_iters,
         phase2_budget=cfg.gn_phase2_budget)
+    # NOTE: the shift applies UNCONDITIONALLY - reference parity. The
+    # stereo driver updates every cluster center with the refined alpha
+    # and stores refined_validity only for evaluation statistics
+    # (refine_edge_disparity, Stereo_Matches.cpp:1340-1352; validities
+    # consumed only at :315-320). The TEMPORAL driver, by contrast, gates
+    # the update per side (Temporal_Matches.cpp:622-631) and
+    # temporal_matcher.py mirrors that.
     shift_x = res.delta * epi_dir[rows, 0]
     shift_y = res.delta * epi_dir[rows, 1]
     state = state._replace(
@@ -634,7 +629,11 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     sim_f = P.ncc4(l_patches[rows, 0], l_patches[rows, 1],
                    l_patch_ok[rows, 0], l_patch_ok[rows, 1],
                    pp, pm, okp, okm)
-    sim_full = _scatter_back(jnp.full_like(state.ncc, -1.0),
+    # just-passing template: active pairs beyond the flat budget stay
+    # alive unscored rather than being killed by the -1 default (same
+    # rule as the stage-4/5 gates); threshold-level scores still lose
+    # the stage-12 argmax to any real scored sibling
+    sim_full = _scatter_back(jnp.full_like(state.ncc, cfg.ncc_thresh + 1e-6),
                              rows, slots, fmask, sim_f)
     state = state._replace(
         cmask=state.cmask & (sim_full > cfg.ncc_thresh), ncc=sim_full)

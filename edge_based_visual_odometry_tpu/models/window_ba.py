@@ -144,7 +144,17 @@ class WindowBA:
                 count[tid] = count.get(tid, 0) + 1
         keep = [tid for tid, c in count.items()
                 if c >= self.cfg.min_track_len]
-        keep = keep[: self.cfg.max_landmarks]
+        if len(keep) > self.cfg.max_landmarks:
+            import warnings
+            warnings.warn(
+                f"WindowBA: {len(keep)} qualifying tracks exceed "
+                f"max_landmarks={self.cfg.max_landmarks}; keeping the "
+                "longest tracks - raise WindowBAConfig.max_landmarks to "
+                "use all")
+            # deterministic, quality-ranked truncation (longest tracks
+            # constrain the solve most), not dict insertion order
+            keep.sort(key=lambda tid: (-count[tid], tid))
+            keep = keep[: self.cfg.max_landmarks]
         lm_of = {tid: i for i, tid in enumerate(keep)}
         L = len(keep)
         if L < 10:

@@ -61,42 +61,11 @@ def build_sorted_grid(x, y, valid, width: int, height: int,
                       float(band_h), int(n_bands), int(width))
 
 
-def query_sorted_grid(grid: SortedGrid, qx, qy, rx: float, ry: float,
-                      slots_per_band: int, n_band_window: int):
-    """Box query; qx, qy: (Q,). Returns (idx, mask) of shape
-    (Q, n_band_window * slots_per_band); idx indexes the ORIGINAL edge
-    arrays; mask=False entries have idx 0."""
-    W16 = jnp.int32(grid.width * 16)
-    b0 = jnp.floor((qy - ry) / grid.band_h).astype(jnp.int32)
-    xq_lo = jnp.clip(jnp.floor((qx - rx) * 16.0), 0, grid.width * 16 - 1).astype(jnp.int32)
-    xq_hi = jnp.clip(jnp.ceil((qx + rx) * 16.0), 0, grid.width * 16 - 1).astype(jnp.int32)
-
-    outs_pos = []
-    outs_mask = []
-    offs = jnp.arange(slots_per_band, dtype=jnp.int32)
-    N = grid.sorted_idx.shape[0]
-    for k in range(n_band_window):
-        b = b0 + k
-        b_ok = (b >= 0) & (b < grid.n_bands)
-        key_lo = b * W16 + xq_lo
-        key_hi = b * W16 + xq_hi
-        lo = jnp.searchsorted(grid.sorted_keys, key_lo, side="left")
-        hi = jnp.searchsorted(grid.sorted_keys, key_hi, side="right")
-        pos = lo[:, None] + offs[None, :]
-        m = (pos < hi[:, None]) & b_ok[:, None] & (pos < N)
-        pos = jnp.minimum(pos, N - 1)
-        outs_pos.append(pos)
-        outs_mask.append(m)
-    pos = jnp.concatenate(outs_pos, axis=-1)
-    mask = jnp.concatenate(outs_mask, axis=-1)
-    idx = grid.sorted_idx[pos]
-    return jnp.where(mask, idx, 0), mask
-
-
-def query_sorted_grid_attrs(grid: SortedGrid, qx, qy, rx: float, ry: float,
-                            slots_per_band: int, n_band_window: int):
-    """Box query returning (idx, attrs, mask): attrs (Q, S, A) fetched as
-    one row gather from the pre-sorted payload."""
+def _band_window_positions(grid: SortedGrid, qx, qy, rx: float, ry: float,
+                           slots_per_band: int, n_band_window: int):
+    """Shared body of the box queries: searchsorted band spans ->
+    (pos, mask) of shape (Q, n_band_window * slots_per_band) into the
+    sorted arrays."""
     W16 = jnp.int32(grid.width * 16)
     b0 = jnp.floor((qy - ry) / grid.band_h).astype(jnp.int32)
     xq_lo = jnp.clip(jnp.floor((qx - rx) * 16.0), 0,
@@ -116,11 +85,42 @@ def query_sorted_grid_attrs(grid: SortedGrid, qx, qy, rx: float, ry: float,
         m = (pos < hi[:, None]) & b_ok[:, None] & (pos < N)
         outs_pos.append(jnp.minimum(pos, N - 1))
         outs_mask.append(m)
-    pos = jnp.concatenate(outs_pos, axis=-1)
-    mask = jnp.concatenate(outs_mask, axis=-1)
+    return (jnp.concatenate(outs_pos, axis=-1),
+            jnp.concatenate(outs_mask, axis=-1))
+
+
+def query_sorted_grid(grid: SortedGrid, qx, qy, rx: float, ry: float,
+                      slots_per_band: int, n_band_window: int):
+    """Box query; qx, qy: (Q,). Returns (idx, mask) of shape
+    (Q, n_band_window * slots_per_band); idx indexes the ORIGINAL edge
+    arrays; mask=False entries have idx 0."""
+    pos, mask = _band_window_positions(grid, qx, qy, rx, ry,
+                                       slots_per_band, n_band_window)
+    return jnp.where(mask, grid.sorted_idx[pos], 0), mask
+
+
+def query_sorted_grid_attrs(grid: SortedGrid, qx, qy, rx: float, ry: float,
+                            slots_per_band: int, n_band_window: int):
+    """Box query returning (idx, attrs, mask): attrs (Q, S, A) fetched as
+    one row gather from the pre-sorted payload."""
+    pos, mask = _band_window_positions(grid, qx, qy, rx, ry,
+                                       slots_per_band, n_band_window)
     idx = jnp.where(mask, grid.sorted_idx[pos], 0)
-    attrs = grid.sorted_attrs[pos]
-    return idx, attrs, mask
+    return idx, grid.sorted_attrs[pos], mask
+
+
+def _compact_order(mask, capacity: int, priority):
+    """top_k slot ordering shared by the compaction variants: valid
+    entries first (original order, or ascending `priority`)."""
+    S = mask.shape[-1]
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+    if priority is None:
+        score = jnp.where(mask, -slot_iota.astype(jnp.float32),
+                          -jnp.float32(2 * S))
+    else:
+        score = jnp.where(mask, -priority, -jnp.float32(3.0e38))
+    _, order = jax.lax.top_k(score, capacity)
+    return order
 
 
 def compact_candidates(idx, mask, capacity: int, priority=None):
@@ -130,31 +130,14 @@ def compact_candidates(idx, mask, capacity: int, priority=None):
     `priority` when given). Overflow beyond capacity is dropped. Uses
     top_k (cheaper than a full row argsort on TPU).
     """
-    S = mask.shape[-1]
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
-    if priority is None:
-        # maximize: valid first, then ascending slot position
-        score = jnp.where(mask, -slot_iota.astype(jnp.float32), -jnp.float32(2 * S))
-    else:
-        big = jnp.float32(3.0e38)
-        score = jnp.where(mask, -priority, -big)
-    _, order = jax.lax.top_k(score, capacity)
-    g_idx = jnp.take_along_axis(idx, order, axis=-1)
-    g_mask = jnp.take_along_axis(mask, order, axis=-1)
-    return g_idx, g_mask
+    order = _compact_order(mask, capacity, priority)
+    return (jnp.take_along_axis(idx, order, axis=-1),
+            jnp.take_along_axis(mask, order, axis=-1))
 
 
 def compact_candidates_attrs(idx, attrs, mask, capacity: int, priority=None):
     """compact_candidates + carry the (Q, S, A) attribute rows along."""
-    S = mask.shape[-1]
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
-    if priority is None:
-        score = jnp.where(mask, -slot_iota.astype(jnp.float32), -jnp.float32(2 * S))
-    else:
-        big = jnp.float32(3.0e38)
-        score = jnp.where(mask, -priority, -big)
-    _, order = jax.lax.top_k(score, capacity)
-    g_idx = jnp.take_along_axis(idx, order, axis=-1)
-    g_mask = jnp.take_along_axis(mask, order, axis=-1)
-    g_attrs = jnp.take_along_axis(attrs, order[..., None], axis=-2)
-    return g_idx, g_attrs, g_mask
+    order = _compact_order(mask, capacity, priority)
+    return (jnp.take_along_axis(idx, order, axis=-1),
+            jnp.take_along_axis(attrs, order[..., None], axis=-2),
+            jnp.take_along_axis(mask, order, axis=-1))

@@ -38,6 +38,14 @@ from edge_based_visual_odometry_tpu.ops import toed
 def make_mesh(n_devices: Optional[int] = None, axis: str = "frame") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            # silent truncation would e.g. make analyze_production_memory
+            # report an 8x workload as "per-device"
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are visible (set XLA_FLAGS="
+                "--xla_force_host_platform_device_count=N for a virtual "
+                "CPU mesh)")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
@@ -80,9 +88,19 @@ def build_pair_step(rig: StereoRig, cfg: VOConfig):
     batch."""
     rig_arrays = RigArrays.from_rig(rig)
     gather_ry = SM.derive_gather_band(rig, cfg)
+    dist_l = jnp.asarray(rig.left.distortion[:4], jnp.float32)
+    dist_r = jnp.asarray(rig.right.distortion[:4], jnp.float32)
+    need_ul = any(abs(d) > 0 for d in rig.left.distortion[:4])
+    need_ur = any(abs(d) > 0 for d in rig.right.distortion[:4])
 
     def one_pair(kf_l, kf_r, cf_l, cf_r, rel_R0, rel_t0, seed):
         def prep(l, r):
+            # lens undistortion, matching pipeline.build_stereo_step
+            # (without it the sharded path would silently run distorted)
+            if need_ul:
+                l = IMG.undistort(l, rig_arrays.K_left, dist_l)
+            if need_ur:
+                r = IMG.undistort(r, rig_arrays.K_right, dist_r)
             lgx, lgy = IMG.sobel_gradients(l)
             rgx, rgy = IMG.sobel_gradients(r)
             fr = FrameData(l, r, lgx, lgy, rgx, rgy)

@@ -50,6 +50,12 @@ def write_finalized_stereo_pairs(path: str, mates, rig) -> None:
     t2 = geom.theta_to_ray_tangent(rig.K_right_inv, jnp.asarray(rt, jnp.float32))
     T1 = geom.reconstruct_3d_tangent(rig.R21, g1, g2, t1, t2)
     pt1 = np.asarray(geom.project_3d_tangent_to_2d(T1, g1))
+    # NOTE: T1 is deliberately NOT rotated by R21 before projecting at the
+    # right-camera gamma - the reference writes projected_T_2 =
+    # project(T_1, gamma_2) with the unrotated left-frame tangent
+    # (Stereo_Matches.cpp:1687-1688); reproduced for column-exact parity
+    # with its MATLAB consumers (the temporal matcher's own transport at
+    # temporal_matcher.py:111-115 does rotate).
     pt2 = np.asarray(geom.project_3d_tangent_to_2d(T1, g2))
     T1 = np.asarray(T1)
 

@@ -99,6 +99,15 @@ def main(argv=None):
         vo_cfg = dataclasses.replace(
             vo_cfg, max_edges=n, max_mates=max(256, n // 4),
             max_refine_pairs=max(1024, 2 * n),
+            # gate/pose flat budgets scale with the edge budget too, else
+            # raising --max_edges silently overflows the default
+            # capacities (defaults are sized for max_edges=32768)
+            max_gate_pairs=max(4096,
+                               vo_cfg.max_gate_pairs * n
+                               // VOConfig.max_edges),
+            max_pose_quads=max(512,
+                               vo_cfg.max_pose_quads * n
+                               // VOConfig.max_edges),
             ransac_max_iterations=min(vo_cfg.ransac_max_iterations,
                                       max(512, n // 4)))
     for kv in args.set:
@@ -125,27 +134,63 @@ def main(argv=None):
         rig_arrays = RigArrays.from_rig(rig)
 
     resume_from = 0
+    file_pos = 0           # dataset FILE-list position to resume decode at
+    restored_gt = None
     if args.checkpoint_dir:
         from edge_based_visual_odometry_tpu.utils import checkpoint as CKPT
         if CKPT.restore_pipeline_state(args.checkpoint_dir, pipe):
             resume_from = pipe.frame_idx
-            print(f"resumed from checkpoint at frame {resume_from}",
-                  flush=True)
+            # file position + GT trajectory travel alongside the pipeline
+            # checkpoint: decode failures make file position != frame
+            # count, and rebuilding gt_traj from the metadata prefix
+            # would re-include the never-processed bad files
+            cs_path = os.path.join(args.checkpoint_dir, "cli_state.npz")
+            if os.path.exists(cs_path):
+                cs = np.load(cs_path)
+                file_pos = int(cs["file_pos"])
+                restored_gt = [Pose(jnp.asarray(R), jnp.asarray(t))
+                               for R, t in zip(cs["gt_R"], cs["gt_t"])]
+            else:
+                file_pos = resume_from   # legacy checkpoint fallback
+            print(f"resumed from checkpoint at frame {resume_from} "
+                  f"(file {file_pos})", flush=True)
 
-    # resume_from makes the iterator skip image decode for the frames the
-    # restored trajectory already covers (metadata/GT still yielded)
+    # file_pos makes the iterator skip image decode for the files the
+    # restored trajectory already covers (metadata still yielded)
     it = datasets.make_iterator(
         dataset_type, cfg_yaml["dataset_dir"], cfg_yaml["sequence_name"],
         cfg_yaml.get("gt_file_path", ""),
         np.asarray(rig.rot_frame2body) if rig.rot_frame2body else None,
         np.asarray(rig.transl_frame2body) if rig.transl_frame2body else None,
         image_hw=(rig.left.height, rig.left.width),
-        prefetch=not args.no_prefetch, start=resume_from)
+        prefetch=not args.no_prefetch, start=file_pos)
 
-    gt_traj = []
+    gt_traj = list(restored_gt) if restored_gt is not None else []
+    timestamps = []
     t0 = time.time()
-    n = 0
+    n = resume_from
+    last_file_pos = file_pos
+
+    def save_ckpt():
+        CKPT.save_pipeline_state(args.checkpoint_dir, pipe)
+        gtR = (np.stack([np.asarray(p.R) for p in gt_traj])
+               if gt_traj else np.zeros((0, 3, 3), np.float32))
+        gtt = (np.stack([np.asarray(p.t) for p in gt_traj])
+               if gt_traj else np.zeros((0, 3), np.float32))
+        np.savez(os.path.join(args.checkpoint_dir, "cli_state.npz"),
+                 file_pos=last_file_pos, gt_R=gtR, gt_t=gtt)
+
     for sample in it:
+        if sample.file_idx < file_pos:
+            # already in the restored trajectory (metadata-only yield)
+            timestamps.append(sample.timestamp)
+            if restored_gt is None and sample.gt_R is not None:
+                # legacy checkpoints only: rebuild GT from the prefix
+                R_wc = sample.gt_R.T
+                t_wc = -sample.gt_R.T @ sample.gt_t
+                gt_traj.append(Pose(jnp.asarray(R_wc, jnp.float32),
+                                    jnp.asarray(t_wc, jnp.float32)))
+            continue
         gt_pose = None
         if sample.gt_R is not None:
             # dataset GT is camera-to-world; pipeline uses world-to-camera
@@ -154,9 +199,7 @@ def main(argv=None):
             gt_pose = Pose(jnp.asarray(R_wc, jnp.float32),
                            jnp.asarray(t_wc, jnp.float32))
             gt_traj.append(gt_pose)
-        if n < resume_from:         # already in the restored trajectory
-            n += 1
-            continue
+        timestamps.append(sample.timestamp)
         kf_before = pipe.keyframe   # quads in tr reference THIS keyframe
         kf_idx_before = pipe.kf_index
         fr, tr = pipe.run_frame(sample.left, sample.right,
@@ -175,6 +218,7 @@ def main(argv=None):
         if args.record_filter_distributions:
             DIO.write_distributions(out_dir, n, fr.distributions)
         n += 1
+        last_file_pos = sample.file_idx + 1
         msg = (f"frame {n - 1}: edges L/R = {int(fr.n_left_edges)}/"
                f"{int(fr.n_right_edges)}, mates = {int(fr.mates.count)}")
         if tr is not None:
@@ -184,12 +228,12 @@ def main(argv=None):
         print(msg, flush=True)
         if (args.checkpoint_dir and args.checkpoint_every
                 and n % args.checkpoint_every == 0):
-            CKPT.save_pipeline_state(args.checkpoint_dir, pipe)
+            save_ckpt()
         if args.max_frames and n >= args.max_frames:
             break
 
     if args.checkpoint_dir and n > resume_from:
-        CKPT.save_pipeline_state(args.checkpoint_dir, pipe)
+        save_ckpt()
 
     dt = time.time() - t0
     done = n - resume_from
@@ -206,7 +250,11 @@ def main(argv=None):
                                      "Temporal Quad Matching Metrics"))
 
     traj_file = os.path.join(out_dir, "trajectory_tum.txt")
-    MET.write_trajectory_tum(traj_file, pipe.trajectory)
+    # real sample timestamps so TUM tooling (evo, associate.py) can match
+    # against groundtruth files; fall back to frame indices on length
+    # mismatch (e.g. resumed runs over datasets with decode failures)
+    ts = timestamps if len(timestamps) == len(pipe.trajectory) else None
+    MET.write_trajectory_tum(traj_file, pipe.trajectory, timestamps=ts)
     print(f"trajectory written to {traj_file}")
 
     if gt_traj and len(gt_traj) == len(pipe.trajectory):
