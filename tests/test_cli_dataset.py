@@ -174,3 +174,54 @@ def test_main_vo_cli_checkpoint_resume(kitti_dir):
     m = json.load(open(os.path.join(out_dir, "metrics.json")))
     assert m["frames"] == 3
     assert m["ate_rmse"] < 0.2
+
+
+@pytest.mark.slow
+def test_resume_with_decode_failure_no_desync(kitti_dir, tmp_path):
+    """Checkpoint resume keyed on FILE position: a bad image file in the
+    middle of the sequence must not desync the restart point (old code
+    skipped `start` FILES equal to the PROCESSED-frame count, re-running
+    the last good frame and misaligning gt_traj)."""
+    import shutil
+
+    root, cfg_path, seq = kitti_dir
+    # copy the tree and corrupt file 1's left image
+    root2 = tmp_path / "kitti_bad"
+    shutil.copytree(str(root), str(root2))
+    bad = root2 / "KITTI-gray" / "00" / "image_0" / "000001.png"
+    bad.write_bytes(b"not a png")
+    cfg = yaml.safe_load((root2 / "cfg.yaml").read_text())
+    cfg["dataset_dir"] = str(root2)
+    cfg["output_dir"] = str(root2 / "out")
+    cfg_path2 = root2 / "cfg.yaml"
+    cfg_path2.write_text(yaml.safe_dump(cfg))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    ckpt = str(root2 / "ckpt")
+    main = os.path.join(os.path.dirname(__file__), "..", "main_vo.py")
+
+    # first run: files 0 and 2 decode (file 1 skipped) -> 2 frames;
+    # stop after them via --max_frames 2
+    r1 = subprocess.run(
+        [sys.executable, main, "-c", str(cfg_path2), "--max_frames", "2",
+         "--max_edges", "1024", "--checkpoint_dir", ckpt, "--no_prefetch"],
+        capture_output=True, text=True, timeout=1500, env=env)
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    assert "processed 2 frames" in r1.stdout
+    cs = np.load(os.path.join(ckpt, "cli_state.npz"))
+    assert int(cs["file_pos"]) == 3      # files 0..2 consumed, not 2
+    assert cs["gt_R"].shape[0] == 2      # bad file's GT not collected
+
+    # resume: no files left -> nothing re-processed, no duplicates
+    r2 = subprocess.run(
+        [sys.executable, main, "-c", str(cfg_path2), "--max_edges", "1024",
+         "--checkpoint_dir", ckpt, "--no_prefetch"],
+        capture_output=True, text=True, timeout=1500, env=env)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "resumed from checkpoint at frame 2 (file 3)" in r2.stdout
+    assert "processed 2 frames" in r2.stdout   # still 2 - no re-run
+    # trajectory has exactly 2 entries (file 2 NOT processed twice)
+    traj = open(str(root2 / "out" / "trajectory_tum.txt")).readlines()
+    assert len(traj) == 2
