@@ -150,3 +150,17 @@ def test_ncc_debug_dump(tmp_path):
     rows = open(os.path.join(d, "candidate_scores.csv")).readlines()
     assert rows[0].startswith("Candidate,Position")
     assert len(rows) == 4 and ",Yes" in rows[1]
+
+
+def test_loader_parses_reference_golden_toed_dump():
+    """The edge loader reads the REFERENCE's own shipped golden TOED dump
+    (reference test/toed.txt, 51k edges from the C++ binary) - format
+    compatibility with the reference's outputs, not just our writers."""
+    path = "/root/reference/test/toed.txt"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference tree unavailable")
+    e = P.load_toed_edges(path)
+    assert e["x"].shape[0] > 50000
+    assert np.isfinite(e["x"]).all() and np.isfinite(e["theta"]).all()
+    assert abs(float(e["x"][0]) - 4.33389) < 1e-4
