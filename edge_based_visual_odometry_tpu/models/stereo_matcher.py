@@ -430,6 +430,13 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
             dists[f"{stage}_ambiguity"] = (jnp.sum(st.cmask, axis=1),
                                            st.row_mask)
 
+    def snap_state(stage, st):
+        """Full cascade-state snapshot at a stage, feeding the reference's
+        per-cluster evaluation writers (io.h:14-160: photo-refine eval,
+        matching-cluster transitions, false-negative clusters)."""
+        if record_distributions:
+            dists[f"{stage}_state"] = st
+
     # Chunk skipping: TOED edge lists and the flat pair lists are
     # compacted with actives packed first, so chunks past the real count
     # are skipped entirely (ops/tiled_sampling.py map_chunked).
@@ -462,6 +469,10 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     #     has silently miscompiled cascade stages before; NOTES.md).
     # Results are identical for live slots under both layouts. ----
     from edge_based_visual_odometry_tpu.ops import tiled_sampling as TS
+
+    if record_distributions:
+        dists["right_edges_xyt"] = (right_edges.x, right_edges.y,
+                                    right_edges.theta)
 
     flat_gates = cfg.gate_layout == "flat"
     gate_budget = min(cfg.max_gate_pairs, N * C)
@@ -568,6 +579,7 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
 
     # ---- stage 8: epipolar shift (ref :967-1008, consolidate shift) ----
     state = _epipolar_shift(state, cfg)
+    snap_state("shift", state)
 
     # ---- stage 9: photometric GN along epipolar (ref :1159-1358) ----
     rows, slots, fmask = _flatten_active(state.cmask, cfg.max_refine_pairs)
@@ -601,6 +613,7 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
                                 res.confidence))
     record(state)
     snap_ambiguity("photometric_refinement", state)
+    snap_state("photo_refine", state)
 
     # ---- stage 10: clustering (ref :1483 -> EdgeClusterer; stereo path
     #      clusters WITHOUT the orientation gate, EdgeClusterer ctor arg
@@ -617,6 +630,7 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
                            cmask=cl.mask)
     record(state)
     snap_ambiguity("edge_clustering", state)
+    snap_state("cluster", state)
 
     # ---- stage 11: post-cluster NCC at new centers (ref :1500) ----
     rows, slots, fmask = _flatten_active(state.cmask, cfg.max_refine_pairs)

@@ -157,6 +157,8 @@ def write_distributions(output_dir: str, frame_idx: int, dists: dict) -> None:
     dict: '<name>' -> <name>_frame_N.txt, '<stage>_ambiguity' ->
     ambiguity_<stage>_frame_N.txt (reference filename conventions)."""
     for name, payload in dists.items():
+        if name.endswith("_state") or name == "right_edges_xyt":
+            continue   # cascade-state snapshots (write_eval_cluster_dumps)
         if name.endswith("_ambiguity"):
             stage = name[: -len("_ambiguity")]
             write_ambiguity_distribution(
@@ -167,3 +169,133 @@ def write_distributions(output_dir: str, frame_idx: int, dists: dict) -> None:
             write_filter_distribution(
                 os.path.join(output_dir, f"{name}_frame_{frame_idx}.txt"),
                 name, frame_idx, *payload)
+
+
+# --------------------------------------------------------------------------
+# per-cluster evaluation writers (reference io.h:14-160). These consume the
+# cascade-state snapshots recorded by match_stereo(record_distributions=
+# True): "shift_state" (post epipolar shift), "photo_refine_state" (post
+# 1-DoF GN), "cluster_state" (post clustering), plus "right_edges_xyt".
+# --------------------------------------------------------------------------
+
+def _tp_flags(st, tol: float):
+    """Per-candidate TP flag vs the GT location (reference b_is_TP)."""
+    d = np.sqrt((np.asarray(st.cx) - np.asarray(st.gt_x)[:, None]) ** 2
+                + (np.asarray(st.cy) - np.asarray(st.gt_y)[:, None]) ** 2)
+    return (np.asarray(st.cmask) & (d <= tol)
+            & (np.asarray(st.gt_x)[:, None] >= 0)), d
+
+
+def write_photo_refine_eval(path: str, refine_state, tol: float) -> None:
+    """Per-candidate photometric-refinement evaluation rows (reference
+    write_Evaluated_Photometric_Refinement_Data_to_file, io.h:14-34):
+    is_TP, left index, refine score, confidence, validity, x, y, theta."""
+    st = refine_state
+    tp, _ = _tp_flags(st, tol)
+    cm = np.asarray(st.cmask)
+    cx, cy, ct = (np.asarray(a) for a in (st.cx, st.cy, st.ctheta))
+    score, conf = np.asarray(st.ncc), np.asarray(st.desc_dist)
+    rows, slots = np.nonzero(cm)
+    with open(path, "w") as f:
+        f.write("is_TP, left_edge_index, refine_final_score, "
+                "refine_confidence, refine_validity\n")
+        for r, c in zip(rows, slots):
+            f.write(f"{int(tp[r, c])} {r} {score[r, c]} {conf[r, c]} 1 "
+                    f"{cx[r, c]} {cy[r, c]} {ct[r, c]}\n")
+
+
+def write_matching_clusters_eval(path: str, shift_state, refine_state,
+                                 tol: float) -> None:
+    """Clusters that were TP after the epipolar shift but lost TP through
+    photometric refinement (reference
+    write_Evaluated_Matching_Edge_Clusters_Data_to_file, io.h:39-69)."""
+    tp_s, _ = _tp_flags(shift_state, tol)
+    tp_r, _ = _tp_flags(refine_state, tol)
+    lost = tp_s & ~tp_r & np.asarray(refine_state.cmask)
+    lx = np.asarray(refine_state.lx)
+    ly = np.asarray(refine_state.ly)
+    lt = np.asarray(refine_state.ltheta)
+    gx = np.asarray(refine_state.gt_x)
+    gy = np.asarray(refine_state.gt_y)
+    sx, sy, st_ = (np.asarray(a) for a in
+                   (shift_state.cx, shift_state.cy, shift_state.ctheta))
+    rx, ry, rt = (np.asarray(a) for a in
+                  (refine_state.cx, refine_state.cy, refine_state.ctheta))
+    rows, slots = np.nonzero(lost)
+    with open(path, "w") as f:
+        f.write("left_edge_index, left_edge_location, left_edge_orientation,"
+                " GT_location, shifting_center_edge_location,"
+                " shifting_center_edge_orientation,"
+                " photometric_refinement_center_edge_location,"
+                " photometric_refinement_center_edge_orientation\n")
+        for r, c in zip(rows, slots):
+            f.write(f"{r} {lx[r]} {ly[r]} {lt[r]} {gx[r]} {gy[r]} "
+                    f"{sx[r, c]} {sy[r, c]} {st_[r, c]} "
+                    f"{rx[r, c]} {ry[r, c]} {rt[r, c]}\n")
+
+
+def write_false_negative_clusters(path: str, contributing_path: str,
+                                  cluster_state, refine_state,
+                                  right_edges_xyt, tol: float) -> None:
+    """False-negative clusters after clustering + their contributing edges
+    (reference write_False_Negative_Edge_Clusters_to_file, io.h:117-160).
+    Contributing edges = the refine-stage candidates of the same row
+    (the pre-cluster members), with their raw TOED right-edge rows."""
+    st = cluster_state
+    tp, d = _tp_flags(st, tol)
+    has_gt = np.asarray(st.gt_x) >= 0
+    fn = (np.asarray(st.cmask) & ~tp & has_gt[:, None])
+    lx, ly, lt = (np.asarray(a) for a in (st.lx, st.ly, st.ltheta))
+    gx, gy = np.asarray(st.gt_x), np.asarray(st.gt_y)
+    cx, cy, ct = (np.asarray(a) for a in (st.cx, st.cy, st.ctheta))
+    rows, slots = np.nonzero(fn)
+    with open(path, "w") as f:
+        f.write("left_edge_location, left_edge_orientation, GT_location, "
+                "center_edge_location, center_edge_orientation, "
+                "dist_error_to_GT\n")
+        for r, c in zip(rows, slots):
+            f.write(f"{lx[r]} {ly[r]} {lt[r]} {gx[r]} {gy[r]} "
+                    f"{cx[r, c]} {cy[r, c]} {ct[r, c]} {d[r, c]}\n")
+
+    tx, ty, tt = (np.asarray(a) for a in right_edges_xyt)
+    rcm = np.asarray(refine_state.cmask)
+    rcx, rcy, rct = (np.asarray(a) for a in
+                     (refine_state.cx, refine_state.cy, refine_state.ctheta))
+    ridx = np.asarray(refine_state.cand_idx)
+    fn_rows = sorted(set(rows.tolist()))
+    with open(contributing_path, "w") as f:
+        f.write("false_negative_edge_cluster_index, "
+                "contributing_edge_shifted_location, "
+                "contributing_edge_shifted_orientation, "
+                "contributing_toed_location, contributing_toed_orientation\n")
+        for i, r in enumerate(fn_rows):
+            for c in np.nonzero(rcm[r])[0]:
+                k = ridx[r, c]
+                f.write(f"{i} {rcx[r, c]} {rcy[r, c]} {rct[r, c]} "
+                        f"{tx[k]} {ty[k]} {tt[k]}\n")
+
+
+def write_eval_cluster_dumps(output_dir: str, frame_idx: int, dists: dict,
+                             tol: float) -> None:
+    """Drive the three io.h evaluation writers from a
+    match_stereo(record_distributions=True) dict (GT datasets only)."""
+    shift = dists.get("shift_state")
+    refine = dists.get("photo_refine_state")
+    cluster = dists.get("cluster_state")
+    rxyt = dists.get("right_edges_xyt")
+    if shift is None or refine is None or cluster is None or rxyt is None:
+        return
+    write_photo_refine_eval(
+        os.path.join(output_dir,
+                     "photo_refine_data_from_evaluation_statistics_frame_"
+                     f"{frame_idx}.txt"), refine, tol)
+    write_matching_clusters_eval(
+        os.path.join(output_dir,
+                     f"matching_edge_clusters_data_frame_{frame_idx}.txt"),
+        shift, refine, tol)
+    write_false_negative_clusters(
+        os.path.join(output_dir,
+                     f"false_negative_edge_clusters_frame_{frame_idx}.txt"),
+        os.path.join(output_dir, "false_negative_edge_clusters_"
+                     f"contributing_edges_frame_{frame_idx}.txt"),
+        cluster, refine, rxyt, tol)

@@ -217,6 +217,11 @@ def main(argv=None):
                             kf_idx=kf_idx_before, cf_idx=n)
         if args.record_filter_distributions:
             DIO.write_distributions(out_dir, n, fr.distributions)
+            if has_gt_disparity:
+                # io.h per-cluster evaluation dumps (photo-refine eval,
+                # TP->FN transitions, false-negative clusters)
+                DIO.write_eval_cluster_dumps(out_dir, n, fr.distributions,
+                                             tol=vo_cfg.gt_pair_dist_tol)
         n += 1
         last_file_pos = sample.file_idx + 1
         msg = (f"frame {n - 1}: edges L/R = {int(fr.n_left_edges)}/"

@@ -77,3 +77,37 @@ def test_checkpoint_roundtrip(small_run, tmp_path):
 
     assert not CKPT.restore_pipeline_state(str(tmp_path / "nope"),
                                            PL.VOPipeline(rig=seq.rig, cfg=CFG))
+
+
+def test_eval_cluster_dumps(tmp_path):
+    """The io.h per-cluster evaluation writers (photo-refine eval,
+    TP->FN transition clusters, false-negative clusters + contributing
+    edges; reference io.h:14-160) produce well-formed files from the
+    cascade-state snapshots."""
+    from edge_based_visual_odometry_tpu.models import pipeline as PLM
+
+    seq = S.make_sequence(n_frames=1, h=120, w=160)
+    step = PLM.build_stereo_step(seq.rig, CFG, has_gt=True,
+                                 record_distributions=True)
+    f = seq.frames[0]
+    occ = jnp.full_like(jnp.asarray(f.disparity), 255.0)
+    fr = step(jnp.asarray(f.left), jnp.asarray(f.right),
+              jnp.asarray(f.disparity), occ)
+    assert "photo_refine_state" in fr.distributions
+    DIO.write_eval_cluster_dumps(str(tmp_path), 0, fr.distributions, tol=1.0)
+
+    pr = (tmp_path / "photo_refine_data_from_evaluation_statistics_"
+                     "frame_0.txt").read_text().splitlines()
+    assert pr[0].startswith("is_TP, left_edge_index")
+    assert len(pr) > 100           # one row per surviving candidate
+    assert len(pr[1].split()) == 8
+    # TP flags present and mostly true on the exact-GT synthetic scene
+    flags = np.array([int(l.split()[0]) for l in pr[1:]])
+    assert flags.mean() > 0.8
+
+    for name in ("matching_edge_clusters_data_frame_0.txt",
+                 "false_negative_edge_clusters_frame_0.txt",
+                 "false_negative_edge_clusters_contributing_edges_"
+                 "frame_0.txt"):
+        lines = (tmp_path / name).read_text().splitlines()
+        assert len(lines) >= 1     # header always written
