@@ -199,7 +199,13 @@ def test_resume_with_decode_failure_no_desync(kitti_dir, tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
-    ckpt = str(root2 / "ckpt")
+    # outside the copied tree: copytree may have brought along a ckpt/
+    # and out/ left by earlier tests sharing the module fixture
+    ckpt = str(tmp_path / "ckpt_fresh")
+    if (root2 / "ckpt").exists():
+        shutil.rmtree(str(root2 / "ckpt"))
+    if (root2 / "out").exists():
+        shutil.rmtree(str(root2 / "out"))
     main = os.path.join(os.path.dirname(__file__), "..", "main_vo.py")
 
     # first run: files 0 and 2 decode (file 1 skipped) -> 2 frames;
