@@ -106,9 +106,12 @@ def _iter_path_pairs(pairs: List[Tuple[str, str]],
                 loader = NL.PrefetchLoader(pairs, image_hw[0], image_hw[1])
                 try:
                     for idx, left, right in loader:
-                        s = metas[idx]
-                        s.left, s.right = left, right
-                        yield s
+                        # yield a COPY carrying the images; the long-lived
+                        # metas list stays imageless, else a full sequence
+                        # accumulates every decoded frame in host RAM
+                        # (~17 GB over a 4500-frame KITTI run)
+                        yield dataclasses.replace(metas[idx], left=left,
+                                                  right=right)
                         yielded += 1
                 finally:
                     loader.close()
@@ -139,8 +142,8 @@ def _iter_path_pairs(pairs: List[Tuple[str, str]],
                 print(f"warning: failed to decode stereo pair "
                       f"({lp}, {rp}); skipping", file=sys.stderr)
             continue
-        s.left, s.right = left, right
-        yield s
+        # copy for the same reason as the prefetch path above
+        yield dataclasses.replace(s, left=left, right=right)
 
 
 def iter_kitti(sequence_path: str, gt_path: str = "",

@@ -298,8 +298,15 @@ class VOPipeline:
                         # the recorded keyframe frame indices - NOT the
                         # trajectory tail (intermediate frames keep their
                         # original relative estimates).
-                        for fi, p in zip(self._ba_kf_frames[-len(poses):],
-                                         poses):
+                        # Align from the END: newest pose <-> newest
+                        # recorded keyframe index. A plain zip of
+                        # ks[-len(poses):] with poses mispairs when fewer
+                        # indices than poses are recorded (e.g. a resumed
+                        # legacy checkpoint repopulated the BA window but
+                        # not the index list).
+                        ks = self._ba_kf_frames
+                        m = min(len(ks), len(poses))
+                        for fi, p in zip(ks[-m:], poses[-m:]):
                             self.trajectory[fi] = p
                         self.kf_pose_est = poses[-1]
             else:

@@ -60,7 +60,12 @@ def _render_all(out_dir: str, viz_dir: str) -> int:
     for f in sorted(glob.glob(os.path.join(out_dir, "*_frame_*.txt"))):
         base = os.path.basename(f)
         if base.startswith(("toed_edges", "finalized_stereo", "disparities",
-                            "quads", "ambiguity")):
+                            "quads", "ambiguity",
+                            # io.h eval-cluster dumps: per-cluster rows,
+                            # not filter distributions - would misparse
+                            # into meaningless histograms
+                            "photo_refine_data", "matching_edge_clusters",
+                            "false_negative_edge_clusters")):
             continue
         try:
             dist = P.load_filter_distribution(f)

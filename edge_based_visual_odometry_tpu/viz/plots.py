@@ -361,10 +361,12 @@ def dump_ncc_debug(out_dir: str, left_img, right_img, edge, candidates,
         patch_size, shift_mag)
     scores = np.asarray(OPP.ncc4(ap[None], am[None], a_okp[None], a_okm[None],
                                  bp, bm, b_okp, b_okm))
-    pair_scores = {
-        "Plus-Plus": float(OPP.ncc(ap, bp[0], a_okp & b_okp[0])),
-        "Minus-Minus": float(OPP.ncc(am, bm[0], a_okm & b_okm[0])),
-    }
+    pair_scores = {}
+    if len(cx):        # edge-vs-cand1 scores need at least one candidate
+        pair_scores = {
+            "Plus-Plus": float(OPP.ncc(ap, bp[0], a_okp & b_okp[0])),
+            "Minus-Minus": float(OPP.ncc(am, bm[0], a_okm & b_okm[0])),
+        }
 
     P_ = patch_size
 

@@ -145,15 +145,23 @@ def main(argv=None):
             # count, and rebuilding gt_traj from the metadata prefix
             # would re-include the never-processed bad files
             cs_path = os.path.join(args.checkpoint_dir, "cli_state.npz")
-            if os.path.exists(cs_path):
+            legacy_resume = not os.path.exists(cs_path)
+            if not legacy_resume:
                 cs = np.load(cs_path)
                 file_pos = int(cs["file_pos"])
                 restored_gt = [Pose(jnp.asarray(R), jnp.asarray(t))
                                for R, t in zip(cs["gt_R"], cs["gt_t"])]
             else:
-                file_pos = resume_from   # legacy checkpoint fallback
+                # Legacy checkpoint (no cli_state.npz): the file position
+                # is unknown, so fall back to the pre-file_idx behavior -
+                # decode everything (start=0) and skip the first
+                # `resume_from` successfully-decoded samples. Equating
+                # file_pos with resume_from instead would re-run the last
+                # frame whenever decode failures preceded the checkpoint.
+                file_pos = 0
             print(f"resumed from checkpoint at frame {resume_from} "
-                  f"(file {file_pos})", flush=True)
+                  f"(file {'unknown - legacy checkpoint' if legacy_resume else file_pos})",
+                  flush=True)
 
     # file_pos makes the iterator skip image decode for the files the
     # restored trajectory already covers (metadata still yielded)
@@ -170,6 +178,7 @@ def main(argv=None):
     t0 = time.time()
     n = resume_from
     last_file_pos = file_pos
+    n_yielded = 0
 
     def save_ckpt():
         CKPT.save_pipeline_state(args.checkpoint_dir, pipe)
@@ -181,11 +190,16 @@ def main(argv=None):
                  file_pos=last_file_pos, gt_R=gtR, gt_t=gtt)
 
     for sample in it:
-        if sample.file_idx < file_pos:
-            # already in the restored trajectory (metadata-only yield)
+        n_yielded += 1
+        skip = (n_yielded <= resume_from if restored_gt is None
+                else sample.file_idx < file_pos)
+        if skip:
+            # already in the restored trajectory
             timestamps.append(sample.timestamp)
+            last_file_pos = max(last_file_pos, sample.file_idx + 1)
             if restored_gt is None and sample.gt_R is not None:
-                # legacy checkpoints only: rebuild GT from the prefix
+                # legacy checkpoints only: rebuild GT from the skipped
+                # prefix (decoded samples, so bad files are excluded)
                 R_wc = sample.gt_R.T
                 t_wc = -sample.gt_R.T @ sample.gt_t
                 gt_traj.append(Pose(jnp.asarray(R_wc, jnp.float32),
