@@ -155,6 +155,7 @@ def ablate():
         "gn_iter1": dataclasses.replace(base, gn_max_iter=1,
                                         gn_phase1_iters=0),
         "refine_budget_1k": dataclasses.replace(base, max_refine_pairs=1024),
+        "layout_dense": dataclasses.replace(base, gate_layout="dense"),
     }
     l0 = jnp.asarray(seq.frames[0].left)
     r0 = jnp.asarray(seq.frames[0].right)
