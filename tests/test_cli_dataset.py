@@ -231,3 +231,50 @@ def test_resume_with_decode_failure_no_desync(kitti_dir, tmp_path):
     # trajectory has exactly 2 entries (file 2 NOT processed twice)
     traj = open(str(root2 / "out" / "trajectory_tum.txt")).readlines()
     assert len(traj) == 2
+
+
+@pytest.mark.slow
+def test_resume_legacy_checkpoint_without_cli_state(kitti_dir, tmp_path):
+    """A checkpoint without cli_state.npz (pre-file_idx format) resumes
+    via the decode-all + skip-by-decoded-count fallback: no frame is
+    re-processed and GT realigns from the decoded prefix."""
+    import shutil
+
+    root, cfg_path, seq = kitti_dir
+    root3 = tmp_path / "kitti_legacy"
+    shutil.copytree(str(root), str(root3))
+    for d in ("ckpt", "out"):
+        if (root3 / d).exists():
+            shutil.rmtree(str(root3 / d))
+    cfg = yaml.safe_load((root3 / "cfg.yaml").read_text())
+    cfg["dataset_dir"] = str(root3)
+    cfg["output_dir"] = str(root3 / "out")
+    (root3 / "cfg.yaml").write_text(yaml.safe_dump(cfg))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    ckpt = str(tmp_path / "ckpt_legacy")
+    main = os.path.join(os.path.dirname(__file__), "..", "main_vo.py")
+
+    r1 = subprocess.run(
+        [sys.executable, main, "-c", str(root3 / "cfg.yaml"),
+         "--max_frames", "2", "--max_edges", "1024",
+         "--checkpoint_dir", ckpt, "--no_prefetch"],
+        capture_output=True, text=True, timeout=1500, env=env)
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    os.remove(os.path.join(ckpt, "cli_state.npz"))   # simulate legacy
+
+    r2 = subprocess.run(
+        [sys.executable, main, "-c", str(root3 / "cfg.yaml"),
+         "--max_edges", "1024", "--checkpoint_dir", ckpt, "--no_prefetch"],
+        capture_output=True, text=True, timeout=1500, env=env)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "resumed from checkpoint at frame 2" in r2.stdout
+    assert "legacy checkpoint" in r2.stdout
+    assert "processed 3 frames" in r2.stdout         # one new frame only
+    traj = open(str(root3 / "out" / "trajectory_tum.txt")).readlines()
+    assert len(traj) == 3
+    m = json.load(open(str(root3 / "out" / "metrics.json")))
+    assert m["frames_processed"] == 1                # not inflated
+    assert m["ate_rmse"] < 0.2                       # GT realigned
