@@ -13,7 +13,7 @@ Everything here is host-side NumPy.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

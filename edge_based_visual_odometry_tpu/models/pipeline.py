@@ -22,7 +22,6 @@ optional re-keyframing policy (new capability; see `VOPipeline.run_frame`).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple, Optional
 
 import jax

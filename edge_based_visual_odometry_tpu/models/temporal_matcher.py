@@ -23,7 +23,7 @@ the production path uses the same machinery with a predicted pose.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -40,8 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from edge_based_visual_odometry_tpu.ops import patches as P
 from edge_based_visual_odometry_tpu.ops import tiled_sampling as TS
-from edge_based_visual_odometry_tpu.ops.gauss_newton import (
-    RefineResult, _centered_left_patches)
+from edge_based_visual_odometry_tpu.ops.gauss_newton import RefineResult
 
 
 def _gn_kernel(tiles_ref, lpat_ref, geom_ref, out_ref, *,

@@ -192,8 +192,6 @@ def analyze_production_memory(n_devices: int = 8, h: int = 376,
 def dryrun_multichip(n_devices: int, h: int = 64, w: int = 96) -> None:
     """Compile + execute the full sharded pipeline step on an n-device
     mesh with tiny shapes (driver entry; see __graft_entry__.py)."""
-    import dataclasses
-
     from edge_based_visual_odometry_tpu.io import synthetic as S
 
     cfg = VOConfig(max_edges=512, max_candidates=8, gather_slots=32,

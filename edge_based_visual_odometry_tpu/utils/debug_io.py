@@ -9,8 +9,6 @@ keep working against our outputs.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 

@@ -9,7 +9,7 @@ offline MATLAB scripts (test/kitti_vis.m etc.).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 
