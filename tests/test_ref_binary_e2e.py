@@ -214,6 +214,7 @@ def our_run(fixture_tree):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "main_vo.py"),
          "-c", str(cfg_path), "--max_edges", "2048", "--use_gt_pose",
+         "--dump_stereo_pairs",
          "--output_dir", str(root / "out_ours")],
         capture_output=True, text=True, timeout=1500, env=env)
     assert r.returncode == 0, r.stderr[-3000:]
@@ -301,3 +302,38 @@ def test_pose_quality_matches_reference(ref_run, our_run, fixture_tree):
         m = json.load(open(mpath))
         if m.get("ate_rmse") is not None:
             assert m["ate_rmse"] < 0.1, m
+
+
+def test_finalized_pair_files_agree_with_reference(ref_run, our_run,
+                                                   fixture_tree):
+    """Cross-binary diff of the finalized_stereo_edge_pairs_frame_0.txt
+    files both CLIs write on the SAME fixture (reference
+    Stereo_Matches.cpp:1656-1699; ours utils/debug_io.py): for our pairs
+    whose left edge has a reference counterpart within 0.75 px, the right
+    edge must agree, and the reconstructed 3D points must match."""
+    root, _, _ = fixture_tree
+    ref_file = os.path.join(str(root), "out",
+                            "finalized_stereo_edge_pairs_frame_0.txt")
+    our_file = os.path.join(str(root), "out_ours",
+                            "finalized_stereo_edge_pairs_frame_0.txt")
+    assert os.path.exists(ref_file) and os.path.exists(our_file)
+    ref = np.loadtxt(ref_file, skiprows=1, ndmin=2)
+    ours = np.loadtxt(our_file, skiprows=1, ndmin=2)
+    assert ref.shape[1] == ours.shape[1] == 16   # identical column layout
+    assert len(ours) > 200 and len(ref) > 200
+
+    # nearest reference pair by left-edge location
+    d = np.hypot(ours[:, None, 0] - ref[None, :, 0],
+                 ours[:, None, 1] - ref[None, :, 1])
+    j = d.argmin(axis=1)
+    near = d[np.arange(len(ours)), j] < 0.75
+    assert near.mean() > 0.5, near.mean()   # substantial edge overlap
+    m_our = ours[near]
+    m_ref = ref[j[near]]
+    # right-edge agreement for matched left edges
+    dr = np.hypot(m_our[:, 3] - m_ref[:, 3], m_our[:, 4] - m_ref[:, 4])
+    assert np.mean(dr < 1.0) > 0.9, np.mean(dr < 1.0)
+    # 3D point agreement (relative depth) on right-agreeing pairs
+    ok = dr < 1.0
+    rel_dz = np.abs(m_our[ok, 8] - m_ref[ok, 8]) / np.abs(m_ref[ok, 8])
+    assert np.median(rel_dz) < 0.05, np.median(rel_dz)
