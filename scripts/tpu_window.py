@@ -10,7 +10,14 @@ solo TPU session (never run other TPU work concurrently):
 
   1. CPU-vs-TPU cascade parity with gate_layout=flat (the default)
   2. CPU-vs-TPU cascade parity with gate_layout=dense (the fallback)
-  3. bench.py (has its own collapsed-workload guard)
+  3. bench.py (has its own collapsed-workload guard + dense fallback)
+  4. with --ablate: the config-probe ablation sweep
+     (benchmarks/profile_stages.py --ablate) to direct the next
+     optimization - only composed-step timings are trustworthy on the
+     remote-compile platform, so this is the profile to use.
+
+Everything is tee'd to benchmarks/tpu_window_results.log so the outcome
+survives a session death mid-window.
 
 Decision table printed at the end:
   flat ok              -> keep flat default, trust the bench number
@@ -25,6 +32,13 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.path.join(REPO, "benchmarks", "tpu_window_results.log")
+
+
+def tee(msg: str) -> None:
+    print(msg, flush=True)
+    with open(LOG, "a") as f:
+        f.write(msg + "\n")
 
 
 def probe_backend(timeout_s: int = 90) -> bool:
@@ -35,21 +49,21 @@ def probe_backend(timeout_s: int = 90) -> bool:
 
 
 def run_parity(layout: str) -> bool:
-    print(f"=== parity check: gate_layout={layout} ===", flush=True)
+    tee(f"=== parity check: gate_layout={layout} ===")
     r = subprocess.run(
         [sys.executable, "scripts/check_tpu_parity.py", f"--layout={layout}"],
         cwd=REPO, text=True, capture_output=True, timeout=5400)
-    print(r.stdout)
+    tee(r.stdout)
     if r.returncode not in (0, 1):
-        print(r.stderr[-1500:])
+        tee(r.stderr[-1500:])
     return r.returncode == 0
 
 
 def run_bench() -> dict:
-    print("=== bench.py ===", flush=True)
+    tee("=== bench.py ===")
     r = subprocess.run([sys.executable, "bench.py"], cwd=REPO, text=True,
                        capture_output=True, timeout=5400)
-    print(r.stdout)
+    tee(r.stdout)
     print(r.stderr[-500:], file=sys.stderr)
     for line in reversed(r.stdout.strip().splitlines()):
         try:
@@ -59,7 +73,21 @@ def run_bench() -> dict:
     return {}
 
 
+def run_ablation() -> None:
+    tee("=== ablation sweep (composed-step config probes) ===")
+    r = subprocess.run(
+        [sys.executable, "benchmarks/profile_stages.py", "--ablate"],
+        cwd=REPO, text=True, capture_output=True, timeout=7200)
+    tee(r.stdout)
+    if r.returncode != 0:
+        tee("ablation FAILED: " + r.stderr[-1500:])
+
+
 def main() -> int:
+    import datetime
+    with open(LOG, "a") as f:
+        f.write(f"\n==== TPU window {datetime.datetime.now().isoformat()} "
+                f"(git {subprocess.run(['git', 'rev-parse', '--short', 'HEAD'], cwd=REPO, capture_output=True, text=True).stdout.strip()}) ====\n")
     try:
         if not probe_backend():
             print("TPU backend unavailable - aborting (no state changed)")
@@ -70,22 +98,24 @@ def main() -> int:
 
     flat_ok = run_parity("flat")
     dense_ok = run_parity("dense")
-    print(f"\nparity: flat={'OK' if flat_ok else 'FAILED'} "
-          f"dense={'OK' if dense_ok else 'FAILED'}")
+    tee(f"\nparity: flat={'OK' if flat_ok else 'FAILED'} "
+        f"dense={'OK' if dense_ok else 'FAILED'}")
     if flat_ok:
-        print("verdict: flat layout compiles correctly today -> bench below "
-              "is trustworthy with the flat default")
+        tee("verdict: flat layout compiles correctly today -> bench below "
+            "is trustworthy with the flat default")
     elif dense_ok:
-        print("verdict: FLAT FORMULATION MISCOMPILES -> flip "
-              "VOConfig.gate_layout default to 'dense' and re-bench")
+        tee("verdict: FLAT FORMULATION MISCOMPILES -> flip "
+            "VOConfig.gate_layout default to 'dense' and re-bench")
         os.environ["_VO_BENCH_LAYOUT"] = "dense"
     else:
-        print("verdict: both layouts diverge -> compiler/environment drift; "
-              "do not trust TPU numbers this window")
+        tee("verdict: both layouts diverge -> compiler/environment drift; "
+            "do not trust TPU numbers this window")
         return 1
 
     bench = run_bench()
-    print("bench:", json.dumps(bench))
+    tee("bench: " + json.dumps(bench))
+    if "--ablate" in sys.argv:
+        run_ablation()
     return 0
 
 
