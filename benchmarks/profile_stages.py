@@ -156,6 +156,10 @@ def ablate():
                                         gn_phase1_iters=0),
         "refine_budget_1k": dataclasses.replace(base, max_refine_pairs=1024),
         "layout_dense": dataclasses.replace(base, gate_layout="dense"),
+        # TOED-cost isolator: detection runs at full res regardless of
+        # max_edges (only extraction capacity shrinks), so base - edges_2k
+        # ~= the cascade's share of the stereo step.
+        "edges_2k": dataclasses.replace(base, max_edges=2048),
     }
     l0 = jnp.asarray(seq.frames[0].left)
     r0 = jnp.asarray(seq.frames[0].right)
