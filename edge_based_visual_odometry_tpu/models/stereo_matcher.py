@@ -376,9 +376,16 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
             jnp.sum(jnp.where(has_c, prec, 0.0)) / rows_w,
             jnp.sum(jnp.where(has_c, n_c, 0)) / rows_w]))
 
+    import os as _os
+    if _os.environ.get("_VO_DEBUG_PREEPI"):
+        record_raw(gmask)          # raw gather-window occupancy (debug)
+        record_raw(row_mask[:, None])
+
     # stage 1: epipolar line distance (ref :381-419)
     g_epi = geom.point_line_distance(epi[:, None, :],
                                      jnp.stack([g_x, g_y], -1))
+    if _os.environ.get("_VO_DEBUG_PREEPI"):
+        record_raw(gmask & (g_epi < 100.0) & row_mask[:, None])
     gmask = gmask & (g_epi < cfg.epipolar_line_dist_thresh) & row_mask[:, None]
     record_raw(gmask)
 
