@@ -128,10 +128,25 @@ def run_layout(seq, layout, n_frames):
     return fps, workload
 
 
+def plan_layouts(pinned, default):
+    """Gate-layout attempt order: the pinned layout alone (bisect mode),
+    or the config default with "dense" as the self-healing fallback —
+    the flat compaction formulation has repeatedly been silently
+    miscompiled on TPU (benchmarks/NOTES.md; as of round 3 the default
+    IS dense for exactly that reason); if a non-dense default's workload
+    guard trips, the dense formulation still produces an honest number."""
+    if pinned:
+        return [pinned]
+    if default == "dense":
+        return ["dense"]
+    return [default, "dense"]
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+    from edge_based_visual_odometry_tpu.config import VOConfig
     from edge_based_visual_odometry_tpu.io import synthetic as S
 
     H, W = 376, 1241            # KITTI grayscale resolution
@@ -139,13 +154,9 @@ def main():
 
     seq = S.make_sequence(n_frames=3, h=H, w=W)
 
-    # Layout order: flat (fast path) first, dense as the self-healing
-    # fallback — the flat compaction formulation has twice been silently
-    # miscompiled on TPU (benchmarks/NOTES.md); if its workload guard
-    # trips, the dense formulation still produces an honest number.
     # _VO_BENCH_LAYOUT pins a single layout (scripts/tpu_window.py bisect).
-    pinned = os.environ.get("_VO_BENCH_LAYOUT")
-    layouts = [pinned] if pinned else ["flat", "dense"]
+    layouts = plan_layouts(os.environ.get("_VO_BENCH_LAYOUT"),
+                           VOConfig().gate_layout)
 
     errors = []
     fps = None
@@ -176,6 +187,11 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
+        # the reference targets Brown's HPC nodes (reference
+        # CMakeLists.txt:124-175); its baseline here was measured on this
+        # host's 4 cores, so vs_baseline overstates the gap vs the
+        # reference's intended hardware - scale by its core count
+        "baseline_hw": "reference binary, 4-core host CPU (OpenMP)",
     }
     if errors:
         result["note"] = "fell back to gate_layout=dense; " + "; ".join(errors)

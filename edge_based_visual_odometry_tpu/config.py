@@ -123,9 +123,17 @@ class VOConfig:
     # stages (must cover measured post-orientation pairs: ~274k at KITTI
     # res; chunk skipping makes the budget tail nearly free)
     gate_chunk: int = 8192          # pairs per chunk in the flat gate stages
-    gate_layout: str = "flat"       # "flat" (active-pair list) | "dense"
-    # ((N, C) row chunks) for the desc/NCC gate stages; identical results,
-    # dense kept as a fallback/bisect arm for TPU-compiler issues
+    gate_layout: str = "dense"      # "dense" ((N, C) row chunks) | "flat"
+    # (active-pair list) for the desc/NCC gate stages; identical results
+    # on CPU and at small shapes. DEFAULT IS DENSE: the flat descriptor
+    # gate ("flat"/"flat4") is mis-fused by the current TPU compiler at
+    # production shapes (376x1241, default budgets) - the whole cascade
+    # silently collapses to zero while CPU stays correct; bisect history
+    # in benchmarks/NOTES.md round 3. "flat5" (NCC-only flat) compiles
+    # correctly but measured no faster than dense (1.387 vs 1.388 fps),
+    # so dense is both the safe and the simple choice. "flat4"/"flat5"
+    # apply the flat layout to ONLY the descriptor (4) or NCC (5) stage -
+    # single-stage bisect arms (scripts/bisect_flat.py).
     max_quad_candidates: int = 24   # per-KF-mate temporal candidate capacity
     quad_gather_slots: int = 576    # raw temporal grid-gather slots (total)
     max_pose_quads: int = 16384     # flat quad budget for RANSAC scoring
@@ -152,13 +160,20 @@ class VOConfig:
     desc_clip: float = 0.2
     desc_scale: float = 512.0
 
+    # --- Diagnostics ---
+    # Prepend 3 extra rows to the stereo metrics array (raw gather-window
+    # occupancy, row_mask count, epi<100px count) for bisecting cascade
+    # collapses (scripts/bisect_flat.py). Changes the metrics row count,
+    # so the stage tables no longer align with STAGE_NAMES - debug only.
+    debug_preepi_metrics: bool = False
+
     def __post_init__(self):
         # a perf-bisect knob that silently accepts garbage defeats its
         # purpose: anything != "flat" would quietly select "dense"
-        if self.gate_layout not in ("flat", "dense"):
+        if self.gate_layout not in ("flat", "dense", "flat4", "flat5"):
             raise ValueError(
-                f"gate_layout must be 'flat' or 'dense', got "
-                f"{self.gate_layout!r}")
+                f"gate_layout must be 'flat', 'dense', 'flat4' or 'flat5', "
+                f"got {self.gate_layout!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -376,15 +376,14 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
             jnp.sum(jnp.where(has_c, prec, 0.0)) / rows_w,
             jnp.sum(jnp.where(has_c, n_c, 0)) / rows_w]))
 
-    import os as _os
-    if _os.environ.get("_VO_DEBUG_PREEPI"):
+    if cfg.debug_preepi_metrics:
         record_raw(gmask)          # raw gather-window occupancy (debug)
         record_raw(row_mask[:, None])
 
     # stage 1: epipolar line distance (ref :381-419)
     g_epi = geom.point_line_distance(epi[:, None, :],
                                      jnp.stack([g_x, g_y], -1))
-    if _os.environ.get("_VO_DEBUG_PREEPI"):
+    if cfg.debug_preepi_metrics:
         record_raw(gmask & (g_epi < 100.0) & row_mask[:, None])
     gmask = gmask & (g_epi < cfg.epipolar_line_dist_thresh) & row_mask[:, None]
     record_raw(gmask)
@@ -481,7 +480,8 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         dists["right_edges_xyt"] = (right_edges.x, right_edges.y,
                                     right_edges.theta)
 
-    flat_gates = cfg.gate_layout == "flat"
+    flat_gates = cfg.gate_layout in ("flat", "flat4")
+    flat_gates_ncc = cfg.gate_layout in ("flat", "flat5")
     gate_budget = min(cfg.max_gate_pairs, N * C)
     if flat_gates:
         rows4, slots4, fmask4 = _flatten_active(state.cmask, gate_budget)
@@ -537,7 +537,7 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     # ---- stage 5: NCC (ref :555-616), same two layouts as stage 4;
     # the flat list is re-flattened so the SIFT gate's kills are excluded
     # from the work ----
-    if flat_gates:
+    if flat_gates_ncc:
         rows5, slots5, fmask5 = _flatten_active(state.cmask, gate_budget)
         ridx5 = state.cand_idx[rows5, slots5]
 

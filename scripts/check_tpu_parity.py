@@ -1,16 +1,28 @@
 #!/usr/bin/env python
 """CPU-vs-TPU cascade parity check: the silent-miscompile detector.
 
-Twice in this project's history the remote TPU compiler silently broke a
-stage of the stereo cascade (an einsum constant-folding bug zeroed all
-epipolar gates; see geometry.epipolar_lines and benchmarks/NOTES.md)
-while CPU results stayed correct, so every CPU test passed and only the
-end-to-end counts revealed the damage. This script runs one small
-synthetic frame pair through the FULL stereo + temporal steps on both
-backends and diffs the per-stage survival counts and final outputs.
+Three times in this project's history the remote TPU compiler silently
+broke a stage of the stereo cascade while CPU results stayed correct
+(round 1: einsum constant folding zeroed the epipolar gates; round 2:
+a collapse first blamed on scatter UB; round 3: a fusion-context
+miscompile of the flat stage-4 descriptor gate at production shapes -
+see benchmarks/NOTES.md). Every CPU test passes in all three cases; only
+CPU-vs-TPU diffs of the per-stage survival counts reveal the damage.
+
+This script runs a synthetic frame pair through the FULL stereo +
+temporal steps on both backends and diffs the per-stage counts and final
+outputs, in one or both of two configurations:
+
+  small (default): 240x320, reduced budgets - fast smoke parity.
+  --prod: 376x1241 (KITTI resolution), UNMODIFIED VOConfig defaults, the
+     exact bench.py synthetic frames. Round 2's collapse was invisible to
+     the small configuration (capacities never bind at 240x320) and
+     onset exactly at production shapes - a "trustworthy" verdict for a
+     bench number must come from THIS configuration
+     (scripts/tpu_window.py gates on it).
 
 Usage (from the repo root, on a host with the TPU attached):
-    python scripts/check_tpu_parity.py
+    python scripts/check_tpu_parity.py [--prod] [--layout=flat|dense|...]
 
 Exit code 0 = backends agree; 1 = divergence (prints the first stage
 that differs). The child processes select their backend via the
@@ -26,15 +38,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_backend(backend: str, layout: str = None) -> dict:
+def run_backend(backend: str, layout: str = None, prod: bool = False) -> dict:
     env = dict(os.environ)
     env["_VO_PARITY_BACKEND"] = backend
     if layout:
         env["_VO_PARITY_LAYOUT"] = layout
+    if prod:
+        env["_VO_PARITY_PROD"] = "1"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
     out = subprocess.run([sys.executable, os.path.abspath(__file__),
                           "--child"], env=env, cwd=REPO,
-                         capture_output=True, text=True, timeout=3600)
+                         capture_output=True, text=True, timeout=5400)
     if out.returncode != 0:
         raise RuntimeError(f"{backend} child failed:\n{out.stderr[-2000:]}")
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -55,10 +69,16 @@ def child() -> int:
     from edge_based_visual_odometry_tpu.io import synthetic as S
     from edge_based_visual_odometry_tpu.models import pipeline as PL
 
-    seq = S.make_sequence(n_frames=2, h=240, w=320)
-    cfg = dataclasses.replace(
-        VOConfig(), max_edges=8192, max_mates=4096, max_refine_pairs=16384,
-        max_gate_pairs=65536, max_pose_quads=4096)
+    if os.environ.get("_VO_PARITY_PROD"):
+        # the bench.py workload: KITTI resolution, UNMODIFIED defaults
+        seq = S.make_sequence(n_frames=2, h=376, w=1241)
+        cfg = VOConfig()
+    else:
+        seq = S.make_sequence(n_frames=2, h=240, w=320)
+        cfg = dataclasses.replace(
+            VOConfig(), max_edges=8192, max_mates=4096,
+            max_refine_pairs=16384, max_gate_pairs=65536,
+            max_pose_quads=4096)
     layout = os.environ.get("_VO_PARITY_LAYOUT")
     if layout:
         cfg = dataclasses.replace(cfg, gate_layout=layout)
@@ -87,20 +107,20 @@ def child() -> int:
     return 0
 
 
-def main() -> int:
-    layout = None
-    for a in sys.argv[1:]:
-        if a.startswith("--layout="):
-            layout = a.split("=", 1)[1]
-    cpu = run_backend("cpu", layout)
-    tpu = run_backend("tpu", layout)
+def diff(cpu: dict, tpu: dict) -> bool:
     print("cpu:", json.dumps(cpu))
     print("tpu:", json.dumps(tpu))
     ok = True
     for key in ("edges", "mates", "quads"):
         a, b = cpu[key], tpu[key]
-        same = a == b if key == "edges" else (
-            min(a, b) > 0.97 * max(a, b))
+        if key == "edges":
+            # f32 NMS threshold ties flip O(1) edges between backends at
+            # production shapes (measured: 24184 vs 24185); require a
+            # tight ratio rather than exact equality
+            same = all(min(x, y) > 0.998 * max(x, y)
+                       for x, y in zip(a, b))
+        else:
+            same = min(a, b) > 0.97 * max(a, b)
         if not same:
             print(f"DIVERGENCE at {key}: cpu={a} tpu={b}")
             ok = False
@@ -110,6 +130,20 @@ def main() -> int:
                 print(f"DIVERGENCE at {key}[{i}]: cpu={a} tpu={b}")
                 ok = False
                 break
+    return ok
+
+
+def main() -> int:
+    layout = None
+    prod = "--prod" in sys.argv
+    for a in sys.argv[1:]:
+        if a.startswith("--layout="):
+            layout = a.split("=", 1)[1]
+    label = "prod 376x1241/full-defaults" if prod else "small 240x320"
+    print(f"configuration: {label}, layout={layout or 'default'}")
+    cpu = run_backend("cpu", layout, prod)
+    tpu = run_backend("tpu", layout, prod)
+    ok = diff(cpu, tpu)
     print("PARITY OK" if ok else "PARITY FAILED")
     return 0 if ok else 1
 

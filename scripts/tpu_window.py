@@ -1,15 +1,19 @@
 #!/usr/bin/env python
-"""One-shot TPU-window driver for the flat-gate miscompile investigation.
+"""One-shot TPU-window driver: parity gates, bench, optional ablation.
 
-Round-2 context (benchmarks/NOTES.md "round 2"): the flat desc/NCC gate
-layout measured 1.821 fps, but a later stage-count probe on the SAME
-cached executable showed the cascade empty on TPU (second silent
-miscompile incident), and the backend went UNAVAILABLE before a bisect
-was possible. This script packs the whole investigation into a single
-solo TPU session (never run other TPU work concurrently):
+History (benchmarks/NOTES.md): the remote TPU compiler has silently
+miscompiled cascade stages three times. Round 2's failure was invisible
+to the small parity configuration (240x320, reduced budgets — it PASSED
+in the same window where bench's flat run collapsed) because the
+miscompile onsets only at production shapes. The verdict below therefore
+gates on the PRODUCTION-shape parity run (376x1241, unmodified VOConfig,
+the exact bench workload): a bench number is only "trustworthy" if the
+very configuration bench times diffs clean against the CPU backend.
 
-  1. CPU-vs-TPU cascade parity with gate_layout=flat (the default)
-  2. CPU-vs-TPU cascade parity with gate_layout=dense (the fallback)
+Order of operations (never run other TPU work concurrently):
+
+  1. CPU-vs-TPU parity, small config, default layout   (fast tripwire)
+  2. CPU-vs-TPU parity, PRODUCTION config, default layout  (the gate)
   3. bench.py (has its own collapsed-workload guard + dense fallback)
   4. with --ablate: the config-probe ablation sweep
      (benchmarks/profile_stages.py --ablate) to direct the next
@@ -18,12 +22,6 @@ solo TPU session (never run other TPU work concurrently):
 
 Everything is tee'd to benchmarks/tpu_window_results.log so the outcome
 survives a session death mid-window.
-
-Decision table printed at the end:
-  flat ok              -> keep flat default, trust the bench number
-  flat bad, dense ok   -> the flat formulation miscompiles: flip the
-                          default to dense and re-bench
-  both bad             -> compiler/environment drift, not our change
 """
 
 import json
@@ -48,11 +46,16 @@ def probe_backend(timeout_s: int = 90) -> bool:
     return r.returncode == 0
 
 
-def run_parity(layout: str) -> bool:
-    tee(f"=== parity check: gate_layout={layout} ===")
-    r = subprocess.run(
-        [sys.executable, "scripts/check_tpu_parity.py", f"--layout={layout}"],
-        cwd=REPO, text=True, capture_output=True, timeout=5400)
+def run_parity(layout: str = None, prod: bool = False) -> bool:
+    label = "prod" if prod else "small"
+    tee(f"=== parity check ({label}): gate_layout={layout or 'default'} ===")
+    cmd = [sys.executable, "scripts/check_tpu_parity.py"]
+    if layout:
+        cmd.append(f"--layout={layout}")
+    if prod:
+        cmd.append("--prod")
+    r = subprocess.run(cmd, cwd=REPO, text=True, capture_output=True,
+                       timeout=7200)
     tee(r.stdout)
     if r.returncode not in (0, 1):
         tee(r.stderr[-1500:])
@@ -96,27 +99,30 @@ def main() -> int:
         print("TPU backend probe hung - backend still down")
         return 2
 
-    flat_ok = run_parity("flat")
-    dense_ok = run_parity("dense")
-    tee(f"\nparity: flat={'OK' if flat_ok else 'FAILED'} "
-        f"dense={'OK' if dense_ok else 'FAILED'}")
-    if flat_ok:
-        tee("verdict: flat layout compiles correctly today -> bench below "
-            "is trustworthy with the flat default")
-    elif dense_ok:
-        tee("verdict: FLAT FORMULATION MISCOMPILES -> flip "
-            "VOConfig.gate_layout default to 'dense' and re-bench")
-        os.environ["_VO_BENCH_LAYOUT"] = "dense"
+    small_ok = run_parity()
+    prod_ok = run_parity(prod=True)
+    tee(f"\nparity: small={'OK' if small_ok else 'FAILED'} "
+        f"prod={'OK' if prod_ok else 'FAILED'}")
+    if prod_ok:
+        tee("verdict: default layout diffs clean vs CPU AT BENCH SHAPES "
+            "-> the bench number below is trustworthy")
     else:
-        tee("verdict: both layouts diverge -> compiler/environment drift; "
-            "do not trust TPU numbers this window")
-        return 1
+        tee("verdict: PRODUCTION-SHAPE MISCOMPILE with the default layout"
+            + (" (small parity also failed -> likely environment drift)"
+               if not small_ok else
+               " (small parity passed -> shape/fusion-dependent, as in "
+               "rounds 2-3)")
+            + "; bench will self-heal to dense if the default is not "
+            "dense, but treat any number below as provisional")
 
     bench = run_bench()
     tee("bench: " + json.dumps(bench))
+    if not prod_ok and "note" not in bench and "error" not in bench:
+        tee("WARNING: prod parity failed yet bench reported without a "
+            "fallback note - investigate before recording this number")
     if "--ablate" in sys.argv:
         run_ablation()
-    return 0
+    return 0 if prod_ok else 1
 
 
 if __name__ == "__main__":
