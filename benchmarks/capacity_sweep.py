@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Capacity-starvation sweep at KITTI resolution (round-3 verdict item 2).
+
+The reference keeps EVERY mate/candidate in dynamically-sized vectors
+(/root/reference/include/Dataset.h:180-289) and photometrically refines
+every candidate (/root/reference/src/Stereo_Matches.cpp:1290-1358). Our
+fixed-shape capacities bind at KITTI scale (measured round 2: ~24k final
+mates vs max_mates=8192, 91k GN inputs vs max_refine_pairs=65536, quad
+slots ~89% occupied at max_quad_candidates=24). This sweep measures what
+that starvation costs - fps AND workload quality per capacity point - so
+the defaults can be chosen from data.
+
+Each point reports: frames/s, mates (vs cap), GN-input pairs (vs budget,
+= % refined), quads, inlier count/ratio.
+
+Run on an otherwise-idle TPU:
+    python benchmarks/capacity_sweep.py [--points NAME ...]
+Results are appended to benchmarks/capacity_sweep_results.jsonl.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+POINTS = {
+    # name -> VOConfig overrides (on top of defaults)
+    "default": {},
+    "mates32k": {"max_mates": 32768},
+    "refine128k": {"max_refine_pairs": 131072},
+    "quads48": {"max_quad_candidates": 48},
+    "mates32k_refine128k": {"max_mates": 32768,
+                            "max_refine_pairs": 131072},
+    "uncapped": {"max_mates": 32768, "max_refine_pairs": 131072,
+                 "max_quad_candidates": 48, "max_pose_quads": 32768},
+    "uncapped_gn2": {"max_mates": 32768, "max_refine_pairs": 131072,
+                     "max_quad_candidates": 48, "max_pose_quads": 32768,
+                     "gn_phase2_budget": 32768},
+}
+
+
+def run_point(name: str, overrides: dict, n_frames: int = 8) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from edge_based_visual_odometry_tpu.config import VOConfig
+    from edge_based_visual_odometry_tpu.io import synthetic as S
+    from edge_based_visual_odometry_tpu.models import pipeline as PL
+
+    cfg = dataclasses.replace(VOConfig(), **overrides)
+    seq = S.make_sequence(n_frames=3, h=376, w=1241)
+    sstep = PL.build_stereo_step(seq.rig, cfg, has_gt=False)
+    tstep = PL.build_temporal_step(seq.rig, cfg, use_gt=False)
+
+    I = jnp.eye(3, dtype=jnp.float32)
+    z = jnp.zeros((3,), jnp.float32)
+    frames = [(jnp.asarray(f.left), jnp.asarray(f.right))
+              for f in seq.frames]
+    kf = jax.block_until_ready(sstep(*frames[0]))
+    cf = jax.block_until_ready(sstep(*frames[1]))
+    tr = jax.block_until_ready(tstep(
+        kf.mates, kf.frame, cf.mates, cf.frame, I, z, jnp.int32(42)))
+    cf2 = jax.block_until_ready(sstep(*frames[2]))
+    tr2 = jax.block_until_ready(tstep(
+        kf.mates, kf.frame, cf2.mates, cf2.frame, I, z, jnp.int32(43)))
+
+    import numpy as np
+    sm = np.asarray(kf.stereo_metrics)
+    # stage rows: [.., BNB-SIFT(6)=GN input, .., Final(11)]
+    gn_input = int(sm[6, 1])
+    rec = {
+        "point": name,
+        "overrides": overrides,
+        "edges": [int(kf.n_left_edges), int(kf.n_right_edges)],
+        "gn_input_pairs": gn_input,
+        "gn_budget": int(cfg.max_refine_pairs),
+        "pct_refined": round(min(1.0, cfg.max_refine_pairs / max(gn_input, 1)), 3),
+        "final_rows": int(sm[11, 1]),
+        "mates": int(kf.mates.count),
+        "max_mates": int(cfg.max_mates),
+        "quads": int(tr.n_quads),
+        "quads_f2": int(tr2.n_quads),
+        "inlier_ratio": round(float(tr.inlier_ratio), 4),
+        "inlier_ratio_f2": round(float(tr2.inlier_ratio), 4),
+        "inlier_count": int(tr.inlier_count),
+    }
+    if int(kf.mates.count) < 1000 or int(tr.n_quads) < 500:
+        rec["error"] = "workload collapsed (miscompile guard)"
+        return rec
+
+    pairs = [frames[1], frames[2]]
+    t0 = time.perf_counter()
+    for k in range(n_frames):
+        l, r = pairs[k % 2]
+        cf = sstep(l, r)
+        tr = tstep(kf.mates, kf.frame, cf.mates, cf.frame, I, z,
+                   jnp.int32(k))
+    jax.block_until_ready(tr)
+    rec["frames_per_s"] = round(n_frames / (time.perf_counter() - t0), 3)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", nargs="*", default=list(POINTS))
+    ap.add_argument("--n_frames", type=int, default=8)
+    args = ap.parse_args()
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    out_path = os.path.join(REPO, "benchmarks",
+                            "capacity_sweep_results.jsonl")
+    for name in args.points:
+        rec = run_point(name, POINTS[name], args.n_frames)
+        line = json.dumps(rec)
+        print(line, flush=True)
+        with open(out_path, "a") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

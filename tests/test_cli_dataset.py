@@ -13,6 +13,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.heavy  # multi-second jitted integration programs
+
 
 @pytest.fixture(scope="module")
 def kitti_dir(tmp_path_factory):

@@ -17,6 +17,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.heavy  # multi-second jitted integration programs
+
 
 @pytest.fixture(scope="module")
 def eth3d_cli_dir(tmp_path_factory):

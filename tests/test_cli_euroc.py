@@ -15,6 +15,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.heavy  # multi-second jitted integration programs
+
 
 @pytest.fixture(scope="module")
 def euroc_tree(tmp_path_factory):

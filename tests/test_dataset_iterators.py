@@ -168,6 +168,7 @@ def test_eth3d_stereo_iterator(eth3d_stereo_dir):
         np.testing.assert_allclose(s.gt_t, -R_w2c.T @ t, atol=1e-9)
 
 
+@pytest.mark.heavy
 def test_occlusion_mask_excludes_edges_from_gt_supervision():
     """Edges whose GT location is occluded must not enter the veridical
     sets (threaded into match_stereo via the occlusion_map arg)."""

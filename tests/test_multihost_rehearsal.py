@@ -11,6 +11,8 @@ import jax
 from edge_based_visual_odometry_tpu.config import VOConfig
 from edge_based_visual_odometry_tpu.parallel import mesh as PM
 
+pytestmark = pytest.mark.heavy  # multi-second jitted integration programs
+
 
 def test_run_multihost_rehearsal():
     from scripts.run_multihost import SIZES, build_local_inputs, measure

@@ -8,6 +8,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-second jitted integration programs
+
 
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8

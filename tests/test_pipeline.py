@@ -10,6 +10,8 @@ from edge_based_visual_odometry_tpu.io import synthetic as S
 from edge_based_visual_odometry_tpu.models import pipeline as PL
 from edge_based_visual_odometry_tpu.utils import metrics as MET
 
+pytestmark = pytest.mark.heavy  # multi-second jitted integration programs
+
 CFG = VOConfig(max_edges=4096, max_candidates=16, gather_slots=160,
                max_mates=2048, max_refine_pairs=8192,
                max_quad_candidates=24, quad_gather_slots=576,

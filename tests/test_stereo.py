@@ -47,6 +47,7 @@ def test_edges_found(scene):
     assert int(red.count) > 300
 
 
+@pytest.mark.heavy
 def test_stereo_cascade_gt_metrics(scene):
     seq, f, led, red, frame, rig = scene
     mates, state, metrics = SM.match_stereo(
@@ -77,6 +78,7 @@ def test_stereo_cascade_gt_metrics(scene):
     assert np.median(err) < 0.3
 
 
+@pytest.mark.heavy
 def test_stereo_cascade_runs_without_gt(scene):
     seq, f, led, red, frame, rig = scene
     mates, state, metrics = SM.match_stereo(led, red, frame, rig, CFG,
@@ -90,6 +92,7 @@ def test_stereo_cascade_runs_without_gt(scene):
     assert np.median(np.abs(z - 4.0)) < 1.0  # plane is ~4 m away
 
 
+@pytest.mark.heavy
 def test_stereo_matches_against_gt_without_supervision(scene):
     """Without the GT prefilter, the matcher must still find mostly-correct
     disparities (compare to the analytic disparity map post hoc)."""
@@ -145,6 +148,7 @@ def test_bnb_keep_matches_sorted_reference():
             np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.heavy
 def test_gate_layouts_equal():
     """The flat (active-pair list) and dense ((N, C) row-chunk) gate
     layouts must produce identical cascade results (the dense arm is the
@@ -202,6 +206,7 @@ def test_flatten_active_overflow_targets_distinct():
     assert len(np.unique(tgt2)) == tgt2.size
 
 
+@pytest.mark.heavy
 def test_gate_layouts_equal_under_budget_overflow():
     """With max_gate_pairs far below the live pair count, the flat layout
     must still match the dense layout's FINAL mates (overflow pairs pass

@@ -14,6 +14,8 @@ from edge_based_visual_odometry_tpu.models.types import FrameData, RigArrays
 from edge_based_visual_odometry_tpu.ops import image as IMG
 from edge_based_visual_odometry_tpu.ops import toed
 
+pytestmark = pytest.mark.heavy  # shared full-cascade fixture (~20 s setup)
+
 CFG = VOConfig(max_edges=4096, max_candidates=16, gather_slots=160,
                max_mates=2048, max_refine_pairs=8192,
                max_quad_candidates=24, quad_gather_slots=576,

@@ -28,6 +28,7 @@ def small_run():
     return seq, pipe
 
 
+@pytest.mark.heavy
 def test_debug_writers(small_run, tmp_path):
     from edge_based_visual_odometry_tpu.models.types import RigArrays
     from edge_based_visual_odometry_tpu.ops import toed
@@ -59,6 +60,7 @@ def test_timing_report():
     assert "a" in rep and "b" in rep and "TOTAL" in rep
 
 
+@pytest.mark.heavy
 def test_checkpoint_roundtrip(small_run, tmp_path):
     seq, pipe = small_run
     path = str(tmp_path / "ckpt")
@@ -79,6 +81,7 @@ def test_checkpoint_roundtrip(small_run, tmp_path):
                                            PL.VOPipeline(rig=seq.rig, cfg=CFG))
 
 
+@pytest.mark.heavy
 def test_eval_cluster_dumps(tmp_path):
     """The io.h per-cluster evaluation writers (photo-refine eval,
     TP->FN transition clusters, false-negative clusters + contributing

@@ -21,6 +21,8 @@ from edge_based_visual_odometry_tpu import geometry as geom
 from edge_based_visual_odometry_tpu.models.window_ba import (
     WindowBA, WindowBAConfig)
 
+pytestmark = pytest.mark.heavy  # multi-second jitted integration programs
+
 K_CAM = np.array([[300.0, 0.0, 160.0],
                   [0.0, 300.0, 120.0],
                   [0.0, 0.0, 1.0]], np.float32)
