@@ -29,18 +29,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 POINTS = {
-    # name -> VOConfig overrides (on top of defaults)
+    # name -> VOConfig overrides (on top of defaults).
+    # max_mates=32768 does NOT fit HBM (measured: 18.30G vs 15.75G - the
+    # temporal gather/patch buffers scale with M), so 16k/24k are the
+    # feasible mate points.
     "default": {},
-    "mates32k": {"max_mates": 32768},
-    "refine128k": {"max_refine_pairs": 131072},
+    "pose32k": {"max_pose_quads": 32768},
     "quads48": {"max_quad_candidates": 48},
-    "mates32k_refine128k": {"max_mates": 32768,
-                            "max_refine_pairs": 131072},
-    "uncapped": {"max_mates": 32768, "max_refine_pairs": 131072,
-                 "max_quad_candidates": 48, "max_pose_quads": 32768},
-    "uncapped_gn2": {"max_mates": 32768, "max_refine_pairs": 131072,
-                     "max_quad_candidates": 48, "max_pose_quads": 32768,
-                     "gn_phase2_budget": 32768},
+    "refine128k": {"max_refine_pairs": 131072,
+                   "gn_phase2_budget": 32768},
+    "mates16k": {"max_mates": 16384},
+    "mates24k": {"max_mates": 24576},
+    "combo16k": {"max_mates": 16384, "max_refine_pairs": 131072,
+                 "gn_phase2_budget": 32768, "max_quad_candidates": 48,
+                 "max_pose_quads": 32768},
 }
 
 
@@ -70,6 +72,19 @@ def run_point(name: str, overrides: dict, n_frames: int = 8) -> dict:
         kf.mates, kf.frame, cf2.mates, cf2.frame, I, z, jnp.int32(43)))
 
     import numpy as np
+
+    def pose_err(tr_res, f_kf, f_cf):
+        """(rotation deg, translation m) error of the estimated KF->CF
+        pose vs the synthetic GT."""
+        R_gt = np.asarray(f_cf.R) @ np.asarray(f_kf.R).T
+        t_gt = np.asarray(f_cf.t) - R_gt @ np.asarray(f_kf.t)
+        R_e = np.asarray(tr_res.R)
+        dR = R_e @ R_gt.T
+        ang = float(np.degrees(np.arccos(
+            np.clip((np.trace(dR) - 1) / 2, -1, 1))))
+        dt = float(np.linalg.norm(np.asarray(tr_res.t) - t_gt))
+        return round(ang, 4), round(dt, 4)
+
     sm = np.asarray(kf.stereo_metrics)
     # stage rows: [.., BNB-SIFT(6)=GN input, .., Final(11)]
     gn_input = int(sm[6, 1])
@@ -88,6 +103,8 @@ def run_point(name: str, overrides: dict, n_frames: int = 8) -> dict:
         "inlier_ratio": round(float(tr.inlier_ratio), 4),
         "inlier_ratio_f2": round(float(tr2.inlier_ratio), 4),
         "inlier_count": int(tr.inlier_count),
+        "pose_err_f1": pose_err(tr, seq.frames[0], seq.frames[1]),
+        "pose_err_f2": pose_err(tr2, seq.frames[0], seq.frames[2]),
     }
     if int(kf.mates.count) < 1000 or int(tr.n_quads) < 500:
         rec["error"] = "workload collapsed (miscompile guard)"

@@ -77,14 +77,20 @@ def _render(K: np.ndarray, R: np.ndarray, t: np.ndarray,
 
     best_lam = np.full((h, w), np.inf)
     img = np.zeros((h, w))
-    for pi, (plane_n, plane_c) in enumerate(planes):
+    for pi, plane in enumerate(planes):
+        # plane = (n, c) textured over world (x, y), or (n, c, (a, b))
+        # with explicit texture axes - walls parallel to an axis need
+        # their in-plane coordinates, not a degenerate projection
+        plane_n, plane_c = plane[0], plane[1]
+        axes = plane[2] if len(plane) > 2 else (0, 1)
         denom = (d @ R) @ plane_n          # n . (R^T d) per pixel
         with np.errstate(divide="ignore", invalid="ignore"):
             lam = (plane_c + plane_n @ (R.T @ t)) / denom
         lam = np.where(lam > 0.1, lam, np.inf)
         lam_safe = np.where(np.isfinite(lam), lam, 0.0)
         X_w = (lam_safe[..., None] * d - t) @ R  # R^T (lam d - t)
-        tex = _texture(X_w[..., 0], X_w[..., 1], rng_seed=seed + 101 * pi)
+        tex = _texture(X_w[..., axes[0]], X_w[..., axes[1]],
+                       rng_seed=seed + 101 * pi)
         closer = lam < best_lam
         img = np.where(closer, tex, img)
         best_lam = np.where(closer, lam, best_lam)
@@ -130,6 +136,65 @@ def make_sequence(n_frames: int = 3, h: int = 240, w: int = 320,
 
         left, depth, _ = _render(K, R, t, planes, h, w, seed)
         # right camera: X_r = R21 X_l + T21 -> world->right = (R21 R, R21 t + T21)
+        Rr = rig.R21_np @ R
+        tr = rig.R21_np @ t + rig.T21_np
+        right, _, _ = _render(K, Rr, tr, planes, h, w, seed)
+        disparity = (K[0, 0] * baseline / depth).astype(np.float32)
+        frames.append(SyntheticFrame(left=left, right=right,
+                                     disparity=disparity,
+                                     R=R.astype(np.float64),
+                                     t=t.astype(np.float64)))
+    return SyntheticSequence(rig=rig, frames=frames)
+
+
+def make_corridor_sequence(n_frames: int = 100, h: int = 376,
+                           w: int = 1241, seed: int = 7,
+                           step: float = 0.06) -> SyntheticSequence:
+    """Long forward-motion sequence through a textured corridor.
+
+    `make_sequence`'s fixed slanted planes only stay in view for a few
+    frames; this scene is built for 100+ frame trajectories (the round-3
+    stand-in for the blocked KITTI-00 gate): ground plane, two slightly
+    converging side walls and a receding far wall, textured over their
+    IN-PLANE coordinates, with the camera advancing `step` m/frame down
+    +Z under gentle yaw/pitch sway and lateral drift. KITTI-like
+    focal length so image motion magnitudes are realistic.
+    """
+    cam = CameraConfig(width=w, height=h, fx=718.0, fy=718.0,
+                       cx=w / 2.0, cy=h / 2.0)
+    rig = StereoRig(left=cam, right=cam,
+                    R21=((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                         (0.0, 0.0, 1.0)),
+                    T21=(-0.12, 0.0, 0.0))
+    K = rig.left.K
+    baseline = -rig.T21_np[0]
+    total = n_frames * step
+
+    def unit(n):
+        n = np.asarray(n, np.float64)
+        return n / np.linalg.norm(n)
+
+    # n . X = c, texture axes = the two in-plane world coordinates
+    planes = [
+        (unit([0.0, 1.0, 0.0]), 1.5, (0, 2)),            # ground y=1.5
+        (unit([1.0, 0.0, 0.02]), -2.5, (1, 2)),          # left wall
+        (unit([-1.0, 0.0, 0.02]), -2.5, (1, 2)),         # right wall
+        (unit([0.0, 0.0, 1.0]), total + 12.0, (0, 1)),   # far wall
+    ]
+
+    frames = []
+    for k in range(n_frames):
+        yaw = 0.015 * np.sin(0.12 * k)
+        pitch = 0.008 * np.sin(0.07 * k + 1.0)
+        cy_, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        Ry = np.array([[cy_, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy_]])
+        Rx = np.array([[1.0, 0.0, 0.0], [0.0, cp, -sp], [0.0, sp, cp]])
+        R = Ry @ Rx                                  # world -> camera
+        C = np.array([0.3 * np.sin(0.05 * k), 0.05 * np.sin(0.03 * k),
+                      step * k])                     # camera center
+        t = -R @ C
+        left, depth, _ = _render(K, R, t, planes, h, w, seed)
         Rr = rig.R21_np @ R
         tr = rig.R21_np @ t + rig.T21_np
         right, _, _ = _render(K, Rr, tr, planes, h, w, seed)

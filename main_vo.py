@@ -66,6 +66,15 @@ def main(argv=None):
     ap.add_argument("--checkpoint_every", type=int, default=25,
                     help="checkpoint cadence in frames (with "
                          "--checkpoint_dir)")
+    ap.add_argument("--keyframe_policy", default="every_frame",
+                    choices=["reference", "every_frame", "adaptive"],
+                    help="keyframe selection: 'reference' = frame 0 "
+                         "forever (reference src/Pipeline.cpp:133-137), "
+                         "'every_frame' = frame-to-frame VO, 'adaptive' = "
+                         "re-keyframe when tracking quality drops")
+    ap.add_argument("--ba_window", type=int, default=0,
+                    help="sliding-window BA length in keyframes (0 = off; "
+                         "new capability, models/window_ba.py)")
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     help="override any VOConfig field (repeatable), e.g. "
                          "--set gn_max_iter=10 --set ncc_thresh=0.5. The "
@@ -125,6 +134,8 @@ def main(argv=None):
     pipe = PL.VOPipeline(rig=rig, cfg=vo_cfg,
                          has_gt_disparity=has_gt_disparity,
                          use_gt_pose=args.use_gt_pose,
+                         keyframe_policy=args.keyframe_policy,
+                         ba_window=args.ba_window,
                          record_distributions=args.record_filter_distributions)
     rig_arrays = None
     if (args.dump_stereo_pairs or args.dump_quads

@@ -221,6 +221,79 @@ def our_run(fixture_tree):
     return _parse_our_log(r.stdout)
 
 
+SAT_MATES = 256            # << alive rows (~1.3k at 120x160)
+SAT_REFINE = 1024          # << live GN input pairs
+SAT_GATE = 2048            # << live desc/NCC gate pairs
+SAT_POSE_QUADS = 512
+
+
+@pytest.fixture(scope="module")
+def our_run_saturated(fixture_tree):
+    """Our CLI on the SAME fixture with every flat capacity forced far
+    below the live counts (round-2 verdict item 4: the e2e harness must
+    bind the budgets - overflow/truncation semantics were only
+    unit-tested before, and this class produced both TPU incidents).
+    The reference is unbounded (Dataset.h:180-289), so comparing stage
+    recall against the same ref_run proves saturation costs no recall."""
+    root, cfg_path, R_rel = fixture_tree
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "main_vo.py"),
+         "-c", str(cfg_path), "--max_edges", "2048", "--use_gt_pose",
+         "--set", f"max_mates={SAT_MATES}",
+         "--set", f"max_refine_pairs={SAT_REFINE}",
+         "--set", f"max_gate_pairs={SAT_GATE}",
+         "--set", f"max_pose_quads={SAT_POSE_QUADS}",
+         "--output_dir", str(root / "out_ours_sat")],
+        capture_output=True, text=True, timeout=1500, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    parsed = _parse_our_log(r.stdout)
+    parsed["mates_lines"] = [int(m) for m in
+                             re.findall(r"mates = (\d+)", r.stdout)]
+    return parsed
+
+
+def test_saturated_budgets_bind_and_keep_recall(ref_run, our_run,
+                                                our_run_saturated):
+    """With max_mates/max_refine_pairs/max_gate_pairs all saturated, the
+    stereo stage recalls must stay within the SAME tolerances vs the
+    unbounded reference binary as the unsaturated run - i.e. overflow
+    pairs pass unscored rather than being dropped, compaction keeps the
+    best candidates, and finalize truncation happens after the stage
+    metrics the cascade is judged on."""
+    # the caps actually bind: finalized mates == cap on every frame
+    assert our_run_saturated["mates_lines"], "no mates lines parsed"
+    assert all(m == SAT_MATES for m in our_run_saturated["mates_lines"]), \
+        our_run_saturated["mates_lines"]
+
+    checked = 0
+    for ours_name, ref_name in STEREO_MAP:
+        sat = our_run_saturated["stereo"].get(ours_name)
+        ref = ref_run["stages"].get(ref_name)
+        base = our_run["stereo"].get(ours_name)
+        if sat is None or ref is None:
+            continue
+        # same recall tolerance as the unsaturated harness
+        assert sat[0] >= ref[0] - 0.03, (ours_name, sat, ref)
+        # and saturation itself costs (almost) nothing vs our own
+        # unsaturated run
+        if base is not None:
+            assert sat[0] >= base[0] - 0.02, (ours_name, sat, base)
+        checked += 1
+    assert checked >= 6, f"only {checked} comparable stages found"
+
+    # temporal end quality despite the mate truncation (ratios, not
+    # counts, so the smaller veridical set is judged on its own terms)
+    if ref_run["temporal"] and our_run_saturated["temporal"]:
+        ref_final = ref_run["temporal"].get("Edge Clustering")
+        sat_final = our_run_saturated["temporal"].get("Edge Clustering")
+        if ref_final and sat_final:
+            assert sat_final[0] >= ref_final[0] - 0.12, (sat_final,
+                                                         ref_final)
+
+
 def test_toed_edge_counts_match_reference(ref_run, our_run):
     """Same images -> same third-order edge counts (<=1%, typically
     exact; validates detect_edges against cpu_toed.cpp inside the full
@@ -262,6 +335,41 @@ def test_stereo_stage_table_matches_reference(ref_run, our_run):
             assert 0.7 <= o_amb / r_amb <= 1.35, (ours_name, o_amb, r_amb)
         checked += 1
     assert checked >= 6, f"only {checked} comparable stages found"
+
+
+# ours-name -> (reference-name, recall tolerance). The reference computes
+# 8 temporal stage rows (Temporal_Matches.cpp:220-292, printed at
+# :1114-1148). Our SIFT stand-in descriptor scores differently, so the
+# SIFT row and everything downstream of it carries a wider tolerance
+# (documented deviation: ops/descriptors.py); geometric stages are tight.
+TEMPORAL_MAP = [
+    ("Location Proximity", "Location Proximity", 0.03),
+    ("Orientation", "Orientation", 0.03),
+    ("NCC", "NCC", 0.05),
+    ("SIFT", "SIFT", 0.10),
+    ("BNB-NCC", "BNB-NCC", 0.10),
+    ("BNB-SIFT", "BNB-SIFT", 0.10),
+    ("Photometric Refinement", "Photometric Refinement", 0.10),
+    ("Edge Clustering", "Edge Clustering", 0.10),
+]
+
+
+def test_temporal_stage_table_matches_reference(ref_run, our_run):
+    """Per-stage temporal recall parity vs the reference binary
+    (round-2 verdict item 5: all 8 stages, not just the final row)."""
+    if not ref_run["temporal"] or not our_run["temporal"]:
+        pytest.skip("temporal tables missing from one side")
+    checked = 0
+    for ours_name, ref_name, tol in TEMPORAL_MAP:
+        ours = our_run["temporal"].get(ours_name)
+        ref = ref_run["temporal"].get(ref_name)
+        if ours is None or ref is None:
+            continue
+        assert ours[0] >= ref[0] - tol, (ours_name, ours, ref)
+        checked += 1
+    assert checked >= 6, (f"only {checked} comparable temporal stages; "
+                          f"ours={sorted(our_run['temporal'])} "
+                          f"ref={sorted(ref_run['temporal'])}")
 
 
 def test_temporal_quality_not_worse_than_reference(ref_run, our_run):
