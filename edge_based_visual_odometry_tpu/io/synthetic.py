@@ -159,8 +159,15 @@ def make_corridor_sequence(n_frames: int = 100, h: int = 376,
     IN-PLANE coordinates, with the camera advancing `step` m/frame down
     +Z under gentle yaw/pitch sway and lateral drift. KITTI-like
     focal length so image motion magnitudes are realistic.
+
+    The focal length scales with the output width (fx = 718 * w / 1241):
+    a fixed fx=718 at reduced smoke resolutions gives a razor-thin FOV
+    that sees only the fronto-parallel far wall - the degenerate
+    low-parallax configuration `_render`'s docstring warns about - so
+    small smoke runs would judge an ill-conditioned scene (ADVICE r3).
     """
-    cam = CameraConfig(width=w, height=h, fx=718.0, fy=718.0,
+    f = 718.0 * w / 1241.0
+    cam = CameraConfig(width=w, height=h, fx=f, fy=f,
                        cx=w / 2.0, cy=h / 2.0)
     rig = StereoRig(left=cam, right=cam,
                     R21=((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),

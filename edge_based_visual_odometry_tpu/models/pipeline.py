@@ -198,8 +198,13 @@ class VOPipeline:
             # which holds for every policy that re-keyframes ('every_frame'
             # and 'adaptive'); only the reference's frame-0-forever policy
             # never yields a second keyframe.
-            assert self.keyframe_policy in ("every_frame", "adaptive"), \
-                "windowed BA requires a re-keyframing policy"
+            if self.keyframe_policy not in ("every_frame", "adaptive"):
+                # ValueError, not assert: an assert is silently skipped
+                # under python -O and surfaces as a bare AssertionError
+                # traceback otherwise (ADVICE r3)
+                raise ValueError(
+                    "windowed BA (ba_window >= 2) requires a re-keyframing "
+                    f"policy, got keyframe_policy={self.keyframe_policy!r}")
             from edge_based_visual_odometry_tpu.models.window_ba import (
                 WindowBA, WindowBAConfig)
             self.wba = WindowBA(self.rig.left.K,

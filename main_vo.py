@@ -81,6 +81,13 @@ def main(argv=None):
                          "reference needs a rebuild for the same change "
                          "(include/definitions.h).")
     args = ap.parse_args(argv)
+    if args.ba_window >= 2 and args.keyframe_policy == "reference":
+        # fail at the CLI boundary, not as a VOPipeline ValueError
+        # traceback deep in __post_init__ (ADVICE r3)
+        ap.error("--ba_window >= 2 requires a re-keyframing policy "
+                 "(--keyframe_policy every_frame|adaptive): windowed BA "
+                 "chains tracks across keyframes, and 'reference' never "
+                 "creates a second keyframe")
 
     with open(args.config_file) as f:
         cfg_yaml = yaml.safe_load(f)

@@ -111,16 +111,25 @@ def diff(cpu: dict, tpu: dict) -> bool:
     print("cpu:", json.dumps(cpu))
     print("tpu:", json.dumps(tpu))
     ok = True
+    # a == b must count as equal BEFORE any ratio test: min > r*max is
+    # False at (0, 0), which would misreport a symmetric collapse on BOTH
+    # backends as CPU-vs-TPU divergence and misdirect the bisect (ADVICE
+    # r3). Flag both-zero separately as a workload collapse.
+    for key in ("mates", "quads"):
+        if cpu[key] == 0 and tpu[key] == 0:
+            print(f"WORKLOAD COLLAPSED on both backends at {key} "
+                  "(not a backend divergence)")
+            ok = False
     for key in ("edges", "mates", "quads"):
         a, b = cpu[key], tpu[key]
         if key == "edges":
             # f32 NMS threshold ties flip O(1) edges between backends at
             # production shapes (measured: 24184 vs 24185); require a
             # tight ratio rather than exact equality
-            same = all(min(x, y) > 0.998 * max(x, y)
+            same = all(x == y or min(x, y) > 0.998 * max(x, y)
                        for x, y in zip(a, b))
         else:
-            same = min(a, b) > 0.97 * max(a, b)
+            same = a == b or min(a, b) > 0.97 * max(a, b)
         if not same:
             print(f"DIVERGENCE at {key}: cpu={a} tpu={b}")
             ok = False

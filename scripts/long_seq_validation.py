@@ -133,7 +133,15 @@ def main():
         if mates < min_mates or (quads is not None and quads < min_quads):
             bad.append((fi, mates, quads))
 
-    metrics = json.load(open(os.path.join(out_dir, "metrics.json")))
+    # metrics.json may be absent (GT trajectory missing/length-mismatched,
+    # e.g. a frame produced no pose): emit a judged pass:false record
+    # instead of an unhandled FileNotFoundError traceback (ADVICE r3)
+    try:
+        metrics = json.load(open(os.path.join(out_dir, "metrics.json")))
+    except (FileNotFoundError, json.JSONDecodeError) as e:
+        print(f"metrics.json unavailable: {e}", file=sys.stderr)
+        metrics = {"ate_rmse": None, "rpe_trans": None,
+                   "rpe_rot_deg": None, "frames_per_s": None}
     ate = metrics["ate_rmse"]
     bound = args.drift_frac * path_len
     result = {
@@ -142,6 +150,10 @@ def main():
         "backend": args.backend or "tpu",
         "ba_window": args.ba_window,
         "keyframe_policy": "adaptive",
+        # record the judging criterion INSIDE the result so a loosened
+        # bound is visible without recomputing ate_bound/gt_path_len
+        # (round-3 verdict weak #2)
+        "drift_frac": args.drift_frac,
         "gt_path_len_m": round(path_len, 3),
         "ate_rmse_m": ate,
         "ate_bound_m": round(bound, 3),

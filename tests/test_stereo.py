@@ -149,10 +149,13 @@ def test_bnb_keep_matches_sorted_reference():
 
 
 @pytest.mark.heavy
-def test_gate_layouts_equal():
-    """The flat (active-pair list) and dense ((N, C) row-chunk) gate
-    layouts must produce identical cascade results (the dense arm is the
-    fallback/bisect path for TPU-compiler issues)."""
+@pytest.mark.parametrize("flat_layout", ["flat", "flat4", "flat5"])
+def test_gate_layouts_equal(flat_layout):
+    """Every flat (active-pair list) layout variant - including the
+    single-stage bisect arms flat4/flat5, pinnable in production via
+    --set / _VO_BENCH_LAYOUT - must produce identical cascade results to
+    the dense ((N, C) row-chunk) oracle (ADVICE r3: a regression in the
+    single-stage arms previously only surfaced on TPU bisect runs)."""
     import dataclasses
 
     from edge_based_visual_odometry_tpu.io import synthetic as S
@@ -160,12 +163,12 @@ def test_gate_layouts_equal():
 
     seq = S.make_sequence(n_frames=1, h=240, w=320)
     outs = {}
-    for layout in ("flat", "dense"):
+    for layout in (flat_layout, "dense"):
         cfg = dataclasses.replace(CFG, gate_layout=layout)
         step = PL.build_stereo_step(seq.rig, cfg, has_gt=False)
         outs[layout] = step(jnp.asarray(seq.frames[0].left),
                             jnp.asarray(seq.frames[0].right))
-    a, b = outs["flat"], outs["dense"]
+    a, b = outs[flat_layout], outs["dense"]
     assert int(a.mates.count) == int(b.mates.count) > 100
     n = int(a.mates.count)
     np.testing.assert_allclose(np.asarray(a.mates.left_x)[:n],
@@ -207,10 +210,11 @@ def test_flatten_active_overflow_targets_distinct():
 
 
 @pytest.mark.heavy
-def test_gate_layouts_equal_under_budget_overflow():
-    """With max_gate_pairs far below the live pair count, the flat layout
-    must still match the dense layout's FINAL mates (overflow pairs pass
-    the desc/NCC gates unscored at threshold level; regression for the
+@pytest.mark.parametrize("flat_layout", ["flat", "flat4", "flat5"])
+def test_gate_layouts_equal_under_budget_overflow(flat_layout):
+    """With max_gate_pairs far below the live pair count, each flat layout
+    variant must still match the dense layout's FINAL mates (overflow pairs
+    pass the desc/NCC gates unscored at threshold level; regression for the
     silent-kill finding) - the cascade's later exact stages (GN,
     clustering, best-pick) then dominate the outcome."""
     import dataclasses
@@ -220,13 +224,13 @@ def test_gate_layouts_equal_under_budget_overflow():
 
     seq = S.make_sequence(n_frames=1, h=240, w=320)
     outs = {}
-    for layout in ("flat", "dense"):
+    for layout in (flat_layout, "dense"):
         cfg = dataclasses.replace(CFG, gate_layout=layout,
                                   max_gate_pairs=2048)   # << live pairs
         step = PL.build_stereo_step(seq.rig, cfg, has_gt=False)
         outs[layout] = step(jnp.asarray(seq.frames[0].left),
                             jnp.asarray(seq.frames[0].right))
-    a, b = outs["flat"], outs["dense"]
+    a, b = outs[flat_layout], outs["dense"]
     na, nb = int(a.mates.count), int(b.mates.count)
     assert na > 100
     # overflow pairs are unscored in flat (kept at threshold) while dense
