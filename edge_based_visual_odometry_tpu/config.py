@@ -136,6 +136,13 @@ class VOConfig:
     # single-stage bisect arms (scripts/bisect_flat.py).
     max_quad_candidates: int = 24   # per-KF-mate temporal candidate capacity
     quad_gather_slots: int = 576    # raw temporal grid-gather slots (total)
+    temporal_row_chunk: int = 8192  # KF-mate rows per block in the temporal
+    # candidate construction (grid gather + NCC/desc gathers + BNB run
+    # per block under lax.map): bounds the temporal working set so
+    # max_mates can match the reference's keep-everything semantics
+    # (Dataset.h:180-289) without the gather/patch buffers scaling HBM
+    # with M (the round-3 32k-mates OOM). max_mates <= temporal_row_chunk
+    # compiles to the unblocked program.
     max_pose_quads: int = 16384     # flat quad budget for RANSAC scoring
     sample_chunk: int = 512         # candidates per chunk in tiled sampling
     # (swept on v5e at KITTI size: 512 beats 1024/2048/4096/8192 - smaller

@@ -319,9 +319,9 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         vidx, v_attrs, vmask = GRID.query_sorted_grid_attrs(
             rgrid, gt_x, gt_y, rx=cfg.gt_pair_dist_tol + 0.5,
             ry=cfg.gt_pair_dist_tol + 0.5, slots_per_band=16, n_band_window=2)
-        v_x = v_attrs[..., 0]
-        v_y = v_attrs[..., 1]
-        v_t = v_attrs[..., 2]
+        v_x = v_attrs[0]
+        v_y = v_attrs[1]
+        v_t = v_attrs[2]
         v_epi = geom.point_line_distance(epi[:, None, :],
                                          jnp.stack([v_x, v_y], -1))
         v_d = jnp.sqrt((v_x - gt_x[:, None]) ** 2 + (v_y - gt_y[:, None]) ** 2)
@@ -344,9 +344,9 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         rgrid, lx, ly, rx=cfg.max_disparity + 1.5, ry=gather_ry,
         slots_per_band=max(8, cfg.gather_slots // n_band_window),
         n_band_window=n_band_window)
-    g_x = g_attrs[..., 0]
-    g_y = g_attrs[..., 1]
-    g_t = g_attrs[..., 2]
+    g_x = g_attrs[0]
+    g_y = g_attrs[1]
+    g_t = g_attrs[2]
 
     metrics = []
 
@@ -404,8 +404,8 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         row_mask=row_mask, lx=lx, ly=ly, ltheta=lt, epi_line=epi,
         gt_x=gt_x, gt_y=gt_y, gamma_gt_l=gamma_l, gamma_gt_r=gamma_r,
         cand_idx=cand_idx,
-        cx=c_attrs[..., 0], cy=c_attrs[..., 1],
-        ctheta=c_attrs[..., 2], cmask=cmask,
+        cx=c_attrs[0], cy=c_attrs[1],
+        ctheta=c_attrs[2], cmask=cmask,
         ncc=jnp.zeros((N, C), jnp.float32),
         desc_dist=jnp.full((N, C), 2.0 * cfg.sift_threshold, jnp.float32),
     )

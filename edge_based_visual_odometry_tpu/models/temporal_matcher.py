@@ -153,12 +153,12 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
     vidx, v_at, vmask = GRID.query_sorted_grid_attrs(
         lgrid, pl[:, 0], pl[:, 1], rx=r_v, ry=r_v,
         slots_per_band=8, n_band_window=vwin)
-    v_dl = jnp.sqrt((v_at[..., 0] - pl[:, 0:1]) ** 2
-                    + (v_at[..., 1] - pl[:, 1:2]) ** 2)
-    v_dr = jnp.sqrt((v_at[..., 3] - pr[:, 0:1]) ** 2
-                    + (v_at[..., 4] - pr[:, 1:2]) ** 2)
-    v_ol = geom.orientation_diff_deg(th_l[:, None], v_at[..., 2])
-    v_or = geom.orientation_diff_deg(th_r[:, None], v_at[..., 5])
+    v_dl = jnp.sqrt((v_at[0] - pl[:, 0:1]) ** 2
+                    + (v_at[1] - pl[:, 1:2]) ** 2)
+    v_dr = jnp.sqrt((v_at[3] - pr[:, 0:1]) ** 2
+                    + (v_at[4] - pr[:, 1:2]) ** 2)
+    v_ol = geom.orientation_diff_deg(th_l[:, None], v_at[2])
+    v_or = geom.orientation_diff_deg(th_r[:, None], v_at[5])
     vmask = (vmask & cf.valid[vidx]
              & (v_dl < cfg.dist_to_gt_thresh_quads)
              & (v_dr < cfg.dist_to_gt_thresh_quads)
@@ -185,8 +185,8 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
     gidx, g_at, gmask = GRID.query_sorted_grid_attrs(
         lgrid, kf.left_x, kf.left_y, rx=r_g, ry=r_g,
         slots_per_band=-(-cfg.quad_gather_slots // gwin), n_band_window=gwin)
-    g_rdx = jnp.abs(g_at[..., 3] - kf.right_x[:, None])
-    g_rdy = jnp.abs(g_at[..., 4] - kf.right_y[:, None])
+    g_rdx = jnp.abs(g_at[3] - kf.right_x[:, None])
+    g_rdy = jnp.abs(g_at[4] - kf.right_y[:, None])
     gmask = (gmask & cf.valid[gidx] & row_mask[:, None]
              & (g_rdx <= r_g) & (g_rdy <= r_g))
 
@@ -207,9 +207,9 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
         tmp = TemporalQuads(
             row_mask=row_mask, proj_left=pl, proj_right=pr,
             proj_theta_l=th_l, proj_theta_r=th_r, has_veridical=has_verid,
-            cf_idx=gidx, lcx=g_at[..., 0], lcy=g_at[..., 1],
-            lct=g_at[..., 2], rcx=g_at[..., 3],
-            rcy=g_at[..., 4], rct=g_at[..., 5], cmask=mask,
+            cf_idx=gidx, lcx=g_at[0], lcy=g_at[1],
+            lct=g_at[2], rcx=g_at[3],
+            rcy=g_at[4], rct=g_at[5], cmask=mask,
             ncc_l=None, desc_l=None)
         metrics.append(_quad_metrics(tmp, kf.is_tp,
                                      cfg.dist_to_gt_thresh_quads))
@@ -217,8 +217,8 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
     record_raw(gmask)
 
     # ---- orientation both sides on the raw window (ref :385-414) ----
-    g_ol = geom.orientation_diff_deg(kf.left_theta[:, None], g_at[..., 2])
-    g_or = geom.orientation_diff_deg(kf.right_theta[:, None], g_at[..., 5])
+    g_ol = geom.orientation_diff_deg(kf.left_theta[:, None], g_at[2])
+    g_or = geom.orientation_diff_deg(kf.right_theta[:, None], g_at[5])
     gmask = (gmask
              & geom.orientation_gate(g_ol, cfg.temporal_orient_thresh_deg)
              & geom.orientation_gate(g_or, cfg.temporal_orient_thresh_deg))
@@ -232,18 +232,18 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
     # orientation-difference ranking (the earlier heuristic) lost ~30%
     # of veridical candidates at ambiguity >> Cq (caught by
     # tests/test_ref_binary_e2e.py against the reference binary).
-    d_l = jnp.hypot(g_at[..., 0] - pl[:, None, 0],
-                    g_at[..., 1] - pl[:, None, 1])
-    d_r = jnp.hypot(g_at[..., 3] - pr[:, None, 0],
-                    g_at[..., 4] - pr[:, None, 1])
+    d_l = jnp.hypot(g_at[0] - pl[:, None, 0],
+                    g_at[1] - pl[:, None, 1])
+    d_r = jnp.hypot(g_at[3] - pr[:, None, 0],
+                    g_at[4] - pr[:, None, 1])
     cf_idx, c_at, cmask = GRID.compact_candidates_attrs(
         gidx, g_at, gmask, Cq, priority=d_l + d_r)
     q = TemporalQuads(
         row_mask=row_mask, proj_left=pl, proj_right=pr,
         proj_theta_l=th_l, proj_theta_r=th_r, has_veridical=has_verid,
         cf_idx=cf_idx,
-        lcx=c_at[..., 0], lcy=c_at[..., 1], lct=c_at[..., 2],
-        rcx=c_at[..., 3], rcy=c_at[..., 4], rct=c_at[..., 5],
+        lcx=c_at[0], lcy=c_at[1], lct=c_at[2],
+        rcx=c_at[3], rcy=c_at[4], rct=c_at[5],
         cmask=cmask,
         ncc_l=jnp.full((M, Cq), -1.0, jnp.float32),
         desc_l=jnp.full((M, Cq), 900.0, jnp.float32),

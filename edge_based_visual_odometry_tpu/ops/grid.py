@@ -29,9 +29,14 @@ class SortedGrid(NamedTuple):
     """Final sorted structure with int32 composite keys."""
     sorted_idx: jnp.ndarray    # (N,)
     sorted_keys: jnp.ndarray   # (N,) int32 composite (band, x/16px)
-    sorted_attrs: jnp.ndarray  # (N, A) edge attributes in sorted order -
-                               # queries gather attribute ROWS directly
-                               # instead of per-attribute element gathers
+    sorted_attrs: jnp.ndarray  # (A, N) edge attributes in sorted order,
+                               # ATTRIBUTE-MAJOR: a query's attr fetch is
+                               # one gather per attribute with the (large)
+                               # slot axis minor. The previous (N, A)
+                               # row-gather produced (Q, S, A) outputs
+                               # whose A=6 lane axis padded to 128 on TPU
+                               # (21x HBM inflation - the round-3
+                               # max_mates=32768 OOM, capacity_sweep.py)
     band_h: float
     n_bands: int
     width: int
@@ -45,8 +50,9 @@ def build_sorted_grid(x, y, valid, width: int, height: int,
     1/16 px so the key stays monotone in (band, x) and fits int32 for any
     realistic image size.
 
-    attrs: optional (N, A) per-edge payload; stored in sorted order so a
-    query's attribute fetch is one row gather.
+    attrs: optional (N, A) per-edge payload; stored attribute-major in
+    sorted order so a query's attribute fetch is one lane-efficient
+    gather per attribute (see SortedGrid.sorted_attrs).
     """
     n_bands = -(-height // band_h)
     W16 = jnp.int32(width * 16)
@@ -57,7 +63,7 @@ def build_sorted_grid(x, y, valid, width: int, height: int,
     order = jnp.argsort(key, stable=True).astype(jnp.int32)
     if attrs is None:
         attrs = jnp.stack([x, y], -1)
-    return SortedGrid(order, key[order], attrs[order],
+    return SortedGrid(order, key[order], attrs.T[:, order],
                       float(band_h), int(n_bands), int(width))
 
 
@@ -101,12 +107,14 @@ def query_sorted_grid(grid: SortedGrid, qx, qy, rx: float, ry: float,
 
 def query_sorted_grid_attrs(grid: SortedGrid, qx, qy, rx: float, ry: float,
                             slots_per_band: int, n_band_window: int):
-    """Box query returning (idx, attrs, mask): attrs (Q, S, A) fetched as
-    one row gather from the pre-sorted payload."""
+    """Box query returning (idx, attrs, mask): attrs is ATTRIBUTE-MAJOR
+    (A, Q, S) - index attrs[k] for the k-th attribute's (Q, S) plane.
+    The slot axis stays minor so TPU lane padding applies to S (large),
+    not A (tiny)."""
     pos, mask = _band_window_positions(grid, qx, qy, rx, ry,
                                        slots_per_band, n_band_window)
     idx = jnp.where(mask, grid.sorted_idx[pos], 0)
-    return idx, grid.sorted_attrs[pos], mask
+    return idx, grid.sorted_attrs[:, pos], mask
 
 
 def _compact_order(mask, capacity: int, priority):
@@ -136,8 +144,9 @@ def compact_candidates(idx, mask, capacity: int, priority=None):
 
 
 def compact_candidates_attrs(idx, attrs, mask, capacity: int, priority=None):
-    """compact_candidates + carry the (Q, S, A) attribute rows along."""
+    """compact_candidates + carry the attribute-major (A, Q, S) attribute
+    planes along (-> (A, Q, capacity))."""
     order = _compact_order(mask, capacity, priority)
     return (jnp.take_along_axis(idx, order, axis=-1),
-            jnp.take_along_axis(attrs, order[..., None], axis=-2),
+            jnp.take_along_axis(attrs, order[None], axis=-1),
             jnp.take_along_axis(mask, order, axis=-1))
