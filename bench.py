@@ -58,12 +58,16 @@ def measure_cpu_baseline(h: int, w: int) -> float:
 
 
 def run_layout(seq, layout, n_frames):
-    """Warm up + guard + time one gate layout. Returns (fps, workload_str)
-    on success or (None, error_str) if the workload guard trips."""
+    """Warm up + guard + time one gate layout. Returns (fps, workload_dict)
+    on success or (None, error_str) if the workload guard trips. The
+    workload dict records the starvation state (mates vs max_mates,
+    pct_refined) and pose error vs the synthetic GT so the JSON is
+    self-describing about workload integrity (round-3 verdict item 8)."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from edge_based_visual_odometry_tpu.config import VOConfig
     from edge_based_visual_odometry_tpu.models import pipeline as PL
@@ -82,7 +86,7 @@ def run_layout(seq, layout, n_frames):
     cf = jax.block_until_ready(stereo_step(left1, right1))
     I = jnp.eye(3, dtype=jnp.float32)
     z = jnp.zeros((3,), jnp.float32)
-    tr = jax.block_until_ready(temporal_step(
+    tr_f1 = tr = jax.block_until_ready(temporal_step(
         kf.mates, kf.frame, cf.mates, cf.frame, I, z, jnp.int32(42)))
 
     # WORKLOAD GUARD: a TPU miscompile once silently zeroed all stereo
@@ -123,8 +127,30 @@ def run_layout(seq, layout, n_frames):
     jax.block_until_ready(tr)
     dt = time.perf_counter() - t0
     fps = n_frames / dt
-    workload = (f"mates={n_mates} quads={n_quads} "
-                f"inlier_ratio={float(tr.inlier_ratio):.3f}")
+
+    def pose_err(tr_res, f_kf, f_cf):
+        R_gt = np.asarray(f_cf.R) @ np.asarray(f_kf.R).T
+        t_gt = np.asarray(f_cf.t) - R_gt @ np.asarray(f_kf.t)
+        dR = np.asarray(tr_res.R) @ R_gt.T
+        ang = float(np.degrees(np.arccos(
+            np.clip((np.trace(dR) - 1) / 2, -1, 1))))
+        return [round(ang, 4),
+                round(float(np.linalg.norm(np.asarray(tr_res.t) - t_gt)), 4)]
+
+    sm = np.asarray(kf.stereo_metrics)
+    gn_input = int(sm[6, 1])            # BNB-SIFT survivors = GN input
+    workload = {
+        "mates": n_mates, "max_mates": int(cfg.max_mates),
+        "gn_input_pairs": gn_input,
+        "pct_refined": round(min(1.0, cfg.max_refine_pairs
+                                 / max(gn_input, 1)), 3),
+        "quads": n_quads,
+        # tr_f1/tr2 are the deterministic warm-up results (seeds 42/43),
+        # not the timed loop's last iteration
+        "inlier_ratio": round(float(tr_f1.inlier_ratio), 3),
+        "pose_err_f1_deg_m": pose_err(tr_f1, seq.frames[0], seq.frames[1]),
+        "pose_err_f2_deg_m": pose_err(tr2, seq.frames[0], seq.frames[2]),
+    }
     return fps, workload
 
 
@@ -192,11 +218,12 @@ def main():
         # host's 4 cores, so vs_baseline overstates the gap vs the
         # reference's intended hardware - scale by its core count
         "baseline_hw": "reference binary, 4-core host CPU (OpenMP)",
+        "layout": layout,
+        "workload": info,
     }
     if errors:
         result["note"] = "fell back to gate_layout=dense; " + "; ".join(errors)
     print(json.dumps(result))
-    print(f"layout={layout} workload: {info}", file=sys.stderr)
     return 0
 
 

@@ -43,6 +43,13 @@ POINTS = {
     "combo16k": {"max_mates": 16384, "max_refine_pairs": 131072,
                  "gn_phase2_budget": 32768, "max_quad_candidates": 48,
                  "max_pose_quads": 32768},
+    # candidate round-4 default: reference keep-everything semantics
+    # (mates < cap, 100% refined) + the quad/pose capacities combo16k
+    # showed win on pose error. Compiles within HBM only after the
+    # attribute-major grid layout (ops/grid.py).
+    "combo24k": {"max_mates": 24576, "max_refine_pairs": 131072,
+                 "gn_phase2_budget": 32768, "max_quad_candidates": 48,
+                 "max_pose_quads": 32768},
 }
 
 

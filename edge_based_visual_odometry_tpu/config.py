@@ -104,7 +104,7 @@ class VOConfig:
     # (compacted to a gn_phase2_budget buffer) pays the remaining
     # iterations. 0 disables (single-phase, identical results).
     gn_phase1_iters: int = 4
-    gn_phase2_budget: int = 16384
+    gn_phase2_budget: int = 32768
     gn_tile: int = 40               # GN sampling tile (travel bound, px; 40 -> stride 10, window +-14)
 
     # --- GT supervision path (Stereo_Matches.cpp:146,228) ---
@@ -114,11 +114,25 @@ class VOConfig:
 
     # --- Fixed-shape capacities (TPU-specific; no reference equivalent:
     #     the reference uses dynamically-sized std::vectors) ---
+    # Round-4 capacity defaults: chosen from the measured TPU capacity
+    # sweep (benchmarks/capacity_sweep_results.jsonl, "combo24k" row) so
+    # the production workload matches the reference's keep-everything
+    # semantics (unbounded candidate storage, Dataset.h:180-289; refine
+    # every survivor, Stereo_Matches.cpp:1290-1358). At KITTI resolution
+    # (~24.2k edges/image): final mates 23,948 < 24,576 (nothing
+    # truncated), GN input 91,291 < 131,072 (100% refined). Quality vs
+    # the old starved defaults (8k mates, 72% refined): pose error f1
+    # (0.535 deg, 47 mm) -> (0.042 deg, 4.2 mm), f2 (0.065 deg, 5 mm) ->
+    # (0.024 deg, 2.5 mm). Raising max_pose_quads is only safe TOGETHER
+    # with these (alone on starved mates it admits ambiguous quads and
+    # degrades pose 10x - NOTES.md round 4). Fits HBM with 8.2 GiB
+    # headroom after the attribute-major grid/patch layouts
+    # (benchmarks/hbm_probe.py).
     max_edges: int = 32768          # per-image TOED edge capacity
     max_candidates: int = 32        # per-left-edge stereo candidate capacity
     gather_slots: int = 160         # raw grid-gather slots before compaction
-    max_mates: int = 8192           # finalized stereo mates capacity
-    max_refine_pairs: int = 65536   # flat (row, cand) capacity for GN/post-NCC
+    max_mates: int = 24576          # finalized stereo mates capacity
+    max_refine_pairs: int = 131072  # flat (row, cand) capacity for GN/post-NCC
     max_gate_pairs: int = 393216    # flat capacity for the desc/NCC gate
     # stages (must cover measured post-orientation pairs: ~274k at KITTI
     # res; chunk skipping makes the budget tail nearly free)
@@ -134,16 +148,9 @@ class VOConfig:
     # so dense is both the safe and the simple choice. "flat4"/"flat5"
     # apply the flat layout to ONLY the descriptor (4) or NCC (5) stage -
     # single-stage bisect arms (scripts/bisect_flat.py).
-    max_quad_candidates: int = 24   # per-KF-mate temporal candidate capacity
+    max_quad_candidates: int = 48   # per-KF-mate temporal candidate capacity
     quad_gather_slots: int = 576    # raw temporal grid-gather slots (total)
-    temporal_row_chunk: int = 8192  # KF-mate rows per block in the temporal
-    # candidate construction (grid gather + NCC/desc gathers + BNB run
-    # per block under lax.map): bounds the temporal working set so
-    # max_mates can match the reference's keep-everything semantics
-    # (Dataset.h:180-289) without the gather/patch buffers scaling HBM
-    # with M (the round-3 32k-mates OOM). max_mates <= temporal_row_chunk
-    # compiles to the unblocked program.
-    max_pose_quads: int = 16384     # flat quad budget for RANSAC scoring
+    max_pose_quads: int = 32768     # flat quad budget for RANSAC scoring
     sample_chunk: int = 512         # candidates per chunk in tiled sampling
     # (swept on v5e at KITTI size: 512 beats 1024/2048/4096/8192 - smaller
     # serial chunks pipeline better against the atlas row-gathers)

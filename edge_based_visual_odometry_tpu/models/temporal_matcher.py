@@ -254,12 +254,14 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
                        if use_gt else _count_row(qq.cmask))
 
     # ---- NCC both sides from stored patches (ref :416-469) ----
+    pp_n = cfg.patch_size * cfg.patch_size
+
     def side_ncc(kf_patches, kf_ok, cf_patches, cf_ok):
-        cpat = cf_patches[q.cf_idx]        # (M, Cq, 2, 49)
+        cpat = cf_patches[q.cf_idx]        # (M, Cq, 2*P*P) flat [plus|minus]
         cok = cf_ok[q.cf_idx]
-        return P.ncc4(kf_patches[:, None, 0], kf_patches[:, None, 1],
+        return P.ncc4(kf_patches[:, None, :pp_n], kf_patches[:, None, pp_n:],
                       kf_ok[:, None, 0], kf_ok[:, None, 1],
-                      cpat[:, :, 0], cpat[:, :, 1],
+                      cpat[:, :, :pp_n], cpat[:, :, pp_n:],
                       cok[:, :, 0], cok[:, :, 1])
     sim_l = side_ncc(kf.left_patches, kf.left_patch_ok,
                      cf.left_patches, cf.left_patch_ok)

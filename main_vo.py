@@ -112,9 +112,13 @@ def main(argv=None):
     if args.max_edges:
         # scale the dependent fixed-shape capacities with the edge budget
         n = args.max_edges
+        # keep the same capacity ratios as the defaults (sized for
+        # max_edges=32768 from the measured sweep; see VOConfig)
         vo_cfg = dataclasses.replace(
-            vo_cfg, max_edges=n, max_mates=max(256, n // 4),
-            max_refine_pairs=max(1024, 2 * n),
+            vo_cfg, max_edges=n,
+            max_mates=max(256, vo_cfg.max_mates * n // VOConfig.max_edges),
+            max_refine_pairs=max(1024, vo_cfg.max_refine_pairs * n
+                                 // VOConfig.max_edges),
             # gate/pose flat budgets scale with the edge budget too, else
             # raising --max_edges silently overflows the default
             # capacities (defaults are sized for max_edges=32768)
