@@ -149,17 +149,24 @@ def ablate():
     variants = {
         "base": base,
         "gn_chunk_2048": dataclasses.replace(base, gn_chunk=2048),
-        "refine_131k": dataclasses.replace(base, max_refine_pairs=131072),
         "gate_chunk_16k": dataclasses.replace(base, gate_chunk=16384),
         "sample_chunk_1k": dataclasses.replace(base, sample_chunk=1024),
         "gn_iter1": dataclasses.replace(base, gn_max_iter=1,
                                         gn_phase1_iters=0),
         "refine_budget_1k": dataclasses.replace(base, max_refine_pairs=1024),
-        "layout_dense": dataclasses.replace(base, gate_layout="dense"),
         # TOED-cost isolator: detection runs at full res regardless of
         # max_edges (only extraction capacity shrinks), so base - edges_2k
         # ~= the cascade's share of the stereo step.
         "edges_2k": dataclasses.replace(base, max_edges=2048),
+        # temporal decomposition (round 4: temporal = 941 of 1442 ms at
+        # the honest defaults; GN only ~170 of it): each variant stubs
+        # one temporal cost center.
+        "ransac_iters_64": dataclasses.replace(base,
+                                               ransac_max_iterations=64),
+        "cq_24": dataclasses.replace(base, max_quad_candidates=24),
+        "pose_quads_16k": dataclasses.replace(base, max_pose_quads=16384),
+        "gather_slots_288": dataclasses.replace(base, quad_gather_slots=288),
+        "mates_8k": dataclasses.replace(base, max_mates=8192),
     }
     l0 = jnp.asarray(seq.frames[0].left)
     r0 = jnp.asarray(seq.frames[0].right)

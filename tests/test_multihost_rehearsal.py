@@ -56,4 +56,10 @@ def test_production_shapes_fit_hbm():
     assert r["fits_hbm"], r
     # sanity: the analysis saw a real program, not a trivially-DCE'd one
     assert r["temp_mib"] > 100, r
-    assert r["total_mib"] < 4096, r   # headroom guard: <4 GiB/device
+    # headroom guard: the round-4 keep-everything defaults (max_mates
+    # 24576, refine-all, Cq=48 - VOConfig capacity block) cost ~10.9
+    # GiB/device for the FUSED pair step (stereo kf + stereo cf +
+    # temporal in one program; the single-chip path runs them as
+    # separate programs peaking at 7.77 GiB, benchmarks/hbm_probe.py).
+    # Keep >= 3 GiB headroom below a v5e's 16 GiB.
+    assert r["total_mib"] < 13312, r
