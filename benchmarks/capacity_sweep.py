@@ -70,13 +70,22 @@ def run_point(name: str, overrides: dict, n_frames: int = 8) -> dict:
     z = jnp.zeros((3,), jnp.float32)
     frames = [(jnp.asarray(f.left), jnp.asarray(f.right))
               for f in seq.frames]
+    # bootstrap-then-predict, mirroring the production pipeline and
+    # bench.py: the identity-prediction call estimates the pose, the
+    # measured workload runs with that realistic prediction
     kf = jax.block_until_ready(sstep(*frames[0]))
     cf = jax.block_until_ready(sstep(*frames[1]))
-    tr = jax.block_until_ready(tstep(
+    tr_b = jax.block_until_ready(tstep(
         kf.mates, kf.frame, cf.mates, cf.frame, I, z, jnp.int32(42)))
+    tr = jax.block_until_ready(tstep(
+        kf.mates, kf.frame, cf.mates, cf.frame, tr_b.R, tr_b.t,
+        jnp.int32(42)))
     cf2 = jax.block_until_ready(sstep(*frames[2]))
-    tr2 = jax.block_until_ready(tstep(
+    tr2_b = jax.block_until_ready(tstep(
         kf.mates, kf.frame, cf2.mates, cf2.frame, I, z, jnp.int32(43)))
+    tr2 = jax.block_until_ready(tstep(
+        kf.mates, kf.frame, cf2.mates, cf2.frame, tr2_b.R, tr2_b.t,
+        jnp.int32(43)))
 
     import numpy as np
 
@@ -117,12 +126,12 @@ def run_point(name: str, overrides: dict, n_frames: int = 8) -> dict:
         rec["error"] = "workload collapsed (miscompile guard)"
         return rec
 
-    pairs = [frames[1], frames[2]]
+    pairs = [(frames[1], (tr.R, tr.t)), (frames[2], (tr2.R, tr2.t))]
     t0 = time.perf_counter()
     for k in range(n_frames):
-        l, r = pairs[k % 2]
+        (l, r), (pR, pt) = pairs[k % 2]
         cf = sstep(l, r)
-        tr = tstep(kf.mates, kf.frame, cf.mates, cf.frame, I, z,
+        tr = tstep(kf.mates, kf.frame, cf.mates, cf.frame, pR, pt,
                    jnp.int32(k))
     jax.block_until_ready(tr)
     rec["frames_per_s"] = round(n_frames / (time.perf_counter() - t0), 3)

@@ -179,10 +179,12 @@ def ablate():
         tstep = PL.build_temporal_step(seq.rig, cfg, use_gt=False)
         kf = jax.block_until_ready(sstep(l0, r0))
         cf = jax.block_until_ready(sstep(l1, r1))
-        jax.block_until_ready(tstep(kf.mates, kf.frame, cf.mates, cf.frame,
-                                    I, z, jnp.int32(0)))
+        # bootstrap-then-predict (see bench.py): time the steady-state
+        # workload under a realistic prediction
+        trb = jax.block_until_ready(tstep(kf.mates, kf.frame, cf.mates,
+                                          cf.frame, I, z, jnp.int32(0)))
         s_ms = bench(sstep, l1, r1, n=6)
-        t_ms = bench(lambda *a: tstep(*a, I, z, jnp.int32(0)),
+        t_ms = bench(lambda *a: tstep(*a, trb.R, trb.t, jnp.int32(0)),
                      kf.mates, kf.frame, cf.mates, cf.frame, n=6)
         print(f"{name:18s} stereo {s_ms:7.1f} ms   temporal {t_ms:7.1f} ms",
               flush=True)

@@ -150,6 +150,22 @@ class VOConfig:
     # single-stage bisect arms (scripts/bisect_flat.py).
     max_quad_candidates: int = 48   # per-KF-mate temporal candidate capacity
     quad_gather_slots: int = 576    # raw temporal grid-gather slots (total)
+    # Production temporal gather (TPU-native deviation, README table):
+    # the reference searches radius 30 around the KF location because its
+    # window must absorb the FULL inter-frame motion
+    # (Temporal_Matches.cpp:184). The production pipeline has a
+    # constant-velocity prediction (pipeline.py), so the window only
+    # needs to absorb PREDICTION ERROR (acceleration-bounded, a few px)
+    # - centering the gather at the projected prediction lets the radius
+    # and slot count shrink ~4x (the (M, S) raw-window stage measured
+    # 157+ ms of the 941 ms temporal step at S=576; NOTES round 4).
+    # Eval mode (use_gt=True) always uses reference semantics for the
+    # stage-table parity harness. The pipeline runs its FIRST temporal
+    # step (identity prediction, error = full motion) on a bootstrap
+    # program with the reference radius/slots.
+    temporal_gather_mode: str = "prediction"   # "prediction" | "reference"
+    temporal_grid_radius_prod: float = 16.0    # px around the prediction
+    quad_gather_slots_prod: int = 192          # raw slots (prediction mode)
     max_pose_quads: int = 32768     # flat quad budget for RANSAC scoring
     sample_chunk: int = 512         # candidates per chunk in tiled sampling
     # (swept on v5e at KITTI size: 512 beats 1024/2048/4096/8192 - smaller
@@ -188,6 +204,10 @@ class VOConfig:
             raise ValueError(
                 f"gate_layout must be 'flat', 'dense', 'flat4' or 'flat5', "
                 f"got {self.gate_layout!r}")
+        if self.temporal_gather_mode not in ("prediction", "reference"):
+            raise ValueError(
+                f"temporal_gather_mode must be 'prediction' or 'reference', "
+                f"got {self.temporal_gather_mode!r}")
 
 
 @dataclasses.dataclass(frozen=True)

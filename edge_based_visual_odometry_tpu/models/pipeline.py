@@ -191,6 +191,24 @@ class VOPipeline:
             record_distributions=self.record_distributions)
         self._temporal_step = build_temporal_step(
             self.rig, self.cfg, self.use_gt_pose)
+        # Bootstrap program for the FIRST temporal step of a run: the
+        # prediction there is identity (no velocity yet), so its error is
+        # the full inter-frame motion - run that one step with the
+        # reference-mode window (radius 30 around the prediction = the KF
+        # location under identity) before switching to the tight
+        # prediction-centered window (VOConfig.temporal_gather_mode).
+        self._temporal_step_boot = self._temporal_step
+        if (not self.use_gt_pose
+                and self.cfg.temporal_gather_mode == "prediction"):
+            import dataclasses as _dc2
+            boot_cfg = _dc2.replace(
+                self.cfg,
+                temporal_grid_radius_prod=self.cfg.temporal_grid_radius,
+                quad_gather_slots_prod=self.cfg.quad_gather_slots)
+            self._temporal_step_boot = build_temporal_step(
+                self.rig, boot_cfg, self.use_gt_pose)
+        self._have_velocity = False   # becomes True after the first
+                                      # successful temporal step
         self.wba = None
         if self.ba_window >= 2:
             # Track chaining links the PREVIOUS keyframe's mates to the
@@ -266,10 +284,14 @@ class VOPipeline:
                 rel = geom.relative_pose(self.kf_pose_gt, gt_pose)
             else:
                 rel = self.last_rel    # constant-position prediction
-            tr = self._temporal_step(
+            step = (self._temporal_step if self._have_velocity
+                    else self._temporal_step_boot)
+            tr = step(
                 self.keyframe.mates, self.keyframe.frame,
                 fr.mates, fr.frame, rel.R, rel.t,
                 jnp.int32(self.cfg.ransac_seed + self.frame_idx))
+            if bool(tr.success):
+                self._have_velocity = True
             if self.use_gt_pose:
                 self.temporal_metrics_log.append(
                     np.asarray(tr.temporal_metrics))

@@ -172,21 +172,36 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
         # (thread_quads push condition, ref :146-156)
         row_mask = row_mask & has_verid
 
-    # ---- candidate gathering around the KF edge locations, radius 30
-    # (apply_spatial_grid_filtering_quads ref :335-383); left AND right box
-    # membership = the reference's left/right cell-set intersection.
+    # ---- candidate gathering, left AND right box membership = the
+    # reference's left/right cell-set intersection
+    # (apply_spatial_grid_filtering_quads ref :335-383).
     # As in the stereo cascade, the cheap gates (box + orientation) run on
     # the RAW gather window and compaction to Cq happens afterwards with
-    # an orientation-difference priority, so the fixed capacity only bites
+    # a distance-to-prediction priority, so the fixed capacity only bites
     # where post-orientation ambiguity would exceed Cq (the reference has
-    # no capacity at all). ----
-    r_g = cfg.temporal_grid_radius
+    # no capacity at all).
+    # Window placement: eval/parity mode mirrors the reference - radius
+    # 30 around the KF locations, absorbing the full inter-frame motion
+    # (ref :184). Production mode centers the window at the PREDICTED
+    # projections (pl, pr) instead: the window then only absorbs
+    # prediction error (acceleration-bounded), so radius and slots
+    # shrink ~4x (TPU deviation, see VOConfig.temporal_gather_mode). ----
+    if use_gt or cfg.temporal_gather_mode == "reference":
+        r_g = cfg.temporal_grid_radius
+        n_slots = cfg.quad_gather_slots
+        gl_x, gl_y = kf.left_x, kf.left_y
+        gr_x, gr_y = kf.right_x, kf.right_y
+    else:
+        r_g = cfg.temporal_grid_radius_prod
+        n_slots = cfg.quad_gather_slots_prod
+        gl_x, gl_y = pl[:, 0], pl[:, 1]
+        gr_x, gr_y = pr[:, 0], pr[:, 1]
     gwin = int(-(-2 * r_g // band_h)) + 1
     gidx, g_at, gmask = GRID.query_sorted_grid_attrs(
-        lgrid, kf.left_x, kf.left_y, rx=r_g, ry=r_g,
-        slots_per_band=-(-cfg.quad_gather_slots // gwin), n_band_window=gwin)
-    g_rdx = jnp.abs(g_at[3] - kf.right_x[:, None])
-    g_rdy = jnp.abs(g_at[4] - kf.right_y[:, None])
+        lgrid, gl_x, gl_y, rx=r_g, ry=r_g,
+        slots_per_band=-(-n_slots // gwin), n_band_window=gwin)
+    g_rdx = jnp.abs(g_at[3] - gr_x[:, None])
+    g_rdy = jnp.abs(g_at[4] - gr_y[:, None])
     gmask = (gmask & cf.valid[gidx] & row_mask[:, None]
              & (g_rdx <= r_g) & (g_rdy <= r_g))
 

@@ -90,7 +90,14 @@ def child() -> int:
                jnp.asarray(seq.frames[1].right))
     I = jnp.eye(3, dtype=jnp.float32)
     z = jnp.zeros((3,), jnp.float32)
-    tr = tstep(kf.mates, kf.frame, cf.mates, cf.frame, I, z, jnp.int32(0))
+    # bootstrap-then-predict (see bench.py): the diffed temporal counts
+    # come from the steady-state prediction-centered workload. Both legs
+    # feed the prediction from their own bootstrap estimate; CPU-vs-TPU
+    # pose agreement is part of what parity checks, and a diverged boot
+    # pose would surface as (intended) count divergence downstream.
+    tr_b = tstep(kf.mates, kf.frame, cf.mates, cf.frame, I, z, jnp.int32(0))
+    tr = tstep(kf.mates, kf.frame, cf.mates, cf.frame, tr_b.R, tr_b.t,
+               jnp.int32(0))
     n = int(kf.mates.count)
     lx = np.asarray(kf.mates.left_x)[:n]
     print(json.dumps({

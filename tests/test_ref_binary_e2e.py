@@ -339,18 +339,21 @@ def test_stereo_stage_table_matches_reference(ref_run, our_run):
 
 # ours-name -> (reference-name, recall tolerance). The reference computes
 # 8 temporal stage rows (Temporal_Matches.cpp:220-292, printed at
-# :1114-1148). Our SIFT stand-in descriptor scores differently, so the
-# SIFT row and everything downstream of it carries a wider tolerance
-# (documented deviation: ops/descriptors.py); geometric stages are tight.
+# :1114-1148). Our SIFT stand-in descriptor scores differently
+# (documented deviation: ops/descriptors.py), but measured deltas on this
+# fixture (round 4, after the descriptor window match) are tiny: worst
+# deficit -0.0051 (Orientation/NCC), and the SIFT-downstream rows run
+# +0.07..0.09 ABOVE the reference - so the round-3 -0.10 slack is
+# ratcheted to 0.05 on every row (round-3 verdict item 7).
 TEMPORAL_MAP = [
     ("Location Proximity", "Location Proximity", 0.03),
     ("Orientation", "Orientation", 0.03),
     ("NCC", "NCC", 0.05),
-    ("SIFT", "SIFT", 0.10),
-    ("BNB-NCC", "BNB-NCC", 0.10),
-    ("BNB-SIFT", "BNB-SIFT", 0.10),
-    ("Photometric Refinement", "Photometric Refinement", 0.10),
-    ("Edge Clustering", "Edge Clustering", 0.10),
+    ("SIFT", "SIFT", 0.05),
+    ("BNB-NCC", "BNB-NCC", 0.05),
+    ("BNB-SIFT", "BNB-SIFT", 0.05),
+    ("Photometric Refinement", "Photometric Refinement", 0.05),
+    ("Edge Clustering", "Edge Clustering", 0.05),
 ]
 
 
