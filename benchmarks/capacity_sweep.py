@@ -46,10 +46,18 @@ POINTS = {
     # candidate round-4 default: reference keep-everything semantics
     # (mates < cap, 100% refined) + the quad/pose capacities combo16k
     # showed win on pose error. Compiles within HBM only after the
-    # attribute-major grid layout (ops/grid.py).
+    # attribute-major grid layout (ops/grid.py). NOTE: these ARE the
+    # defaults since round 4, so "combo24k" == "default" now.
     "combo24k": {"max_mates": 24576, "max_refine_pairs": 131072,
                  "gn_phase2_budget": 32768, "max_quad_candidates": 48,
                  "max_pose_quads": 32768},
+    # Cq right-sizing under the prediction-centered gather (radius 16):
+    # ambiguity within the tight window is ~4x lower than the reference
+    # radius 30 the Cq=48 default was sized for.
+    "cq24": {"max_quad_candidates": 24},
+    "cq32": {"max_quad_candidates": 32},
+    # tighter still: radius 12, slots 144
+    "r12": {"temporal_grid_radius_prod": 12.0, "quad_gather_slots_prod": 144},
 }
 
 

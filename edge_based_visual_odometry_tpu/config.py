@@ -148,7 +148,11 @@ class VOConfig:
     # so dense is both the safe and the simple choice. "flat4"/"flat5"
     # apply the flat layout to ONLY the descriptor (4) or NCC (5) stage -
     # single-stage bisect arms (scripts/bisect_flat.py).
-    max_quad_candidates: int = 48   # per-KF-mate temporal candidate capacity
+    max_quad_candidates: int = 32   # per-KF-mate temporal candidate capacity
+    # (sized 48 for the reference's radius-30 window; the prediction-
+    # centered radius-16 production window has ~4x less ambiguity, and
+    # the sweep shows Cq=32 keeps Cq=48's pose quality at +9% fps while
+    # Cq=24 starts to cost accuracy - capacity_sweep cq24/cq32 rows)
     quad_gather_slots: int = 576    # raw temporal grid-gather slots (total)
     # Production temporal gather (TPU-native deviation, README table):
     # the reference searches radius 30 around the KF location because its
@@ -170,6 +174,10 @@ class VOConfig:
     sample_chunk: int = 512         # candidates per chunk in tiled sampling
     # (swept on v5e at KITTI size: 512 beats 1024/2048/4096/8192 - smaller
     # serial chunks pipeline better against the atlas row-gathers)
+    gn_phase1_chunk: int = 4096     # candidates per chunk in GN PHASE 1:
+    # fixed iteration count -> no convergence-coupling penalty for wide
+    # chunks, and 131072/512 = 256 serial chunks was pure overhead
+    # (ops/gauss_newton._two_phase). Phase 2 keeps gn_chunk.
     gn_chunk: int = 512             # candidates per chunk in the GN refiners
     # (isolated GN strongly prefers 2048 - 34 vs 154 ms at 65k pairs - but
     # in-cascade the active set is small and 512 measured equal-or-better:

@@ -318,7 +318,8 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
             tol=cfg.gn_tol, huber_delta=cfg.temporal_huber_delta,
             tile=cfg.gn_tile, chunk=cfg.gn_chunk, active=fmask,
             phase1_iters=cfg.gn_phase1_iters,
-            phase2_budget=cfg.gn_phase2_budget)
+            phase2_budget=cfg.gn_phase2_budget,
+            phase1_chunk=cfg.gn_phase1_chunk)
 
     res_l = refine_side(kf_frame.left, cf_frame.left,
                         cf_frame.left_gx, cf_frame.left_gy,

@@ -227,18 +227,26 @@ def _rotated_two_side_coords(cx, cy, theta, n, side, patch_size):
 
 def _two_phase(run, B: int, args, active, delta0,
                phase1_iters: int, phase2_budget: int, max_iter: int,
-               chunk: int):
+               chunk: int, phase1_chunk: int = 0):
     """Convergence-compaction driver shared by both batch refiners.
 
-    `run(args, delta0, it0, it_stop, act)` executes GN iterations
+    `run(args, delta0, it0, it_stop, act, chunk)` executes GN iterations
     [it0, it_stop) and returns (RefineResult, done). Most lanes converge
     in a handful of iterations while a chunk's while_loop runs until its
     SLOWEST lane converges - so phase 1 gives every lane `phase1_iters`
     iterations, then only the unconverged minority (compacted to the
     front of a `phase2_budget` buffer) pays for the remaining
     iterations. Lanes past the budget keep their phase-1 state
-    (valid=False -> dropped conservatively downstream)."""
-    r1, done1 = run(args, delta0, 0, phase1_iters, active)
+    (valid=False -> dropped conservatively downstream).
+
+    `phase1_chunk`: phase 1 runs a FIXED iteration count, so its chunks
+    have no convergence-coupling penalty (a chunk's while_loop running
+    until its slowest lane converges is what makes wide chunks lose in
+    phase 2) - wider phase-1 chunks cut the serial chunk count ~8x at
+    the production budgets. 0 = use `chunk`. Chunking never changes
+    results (lanes are independent; frozen carries), only wall time."""
+    r1, done1 = run(args, delta0, 0, phase1_iters, active,
+                    phase1_chunk or chunk)
     # skipped all-inactive chunks zero-fill done -> force inactive=done
     done1 = done1 | ~active
     B2 = min(B, max(chunk, phase2_budget))
@@ -246,7 +254,7 @@ def _two_phase(run, B: int, args, active, delta0,
     idx = order[:B2]
     act2 = ~done1[idx]
     args2 = jax.tree_util.tree_map(lambda a: a[idx], args)
-    r2, _ = run(args2, r1.delta[idx], phase1_iters, max_iter, act2)
+    r2, _ = run(args2, r1.delta[idx], phase1_iters, max_iter, act2, chunk)
 
     def merge(a, b):
         take = act2 if b.ndim == 1 else act2[:, None]
@@ -265,7 +273,8 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
                                 tol: float = 1e-3, huber_delta: float = 1.0,
                                 tile: int = 48, chunk: int = 2048,
                                 active=None, phase1_iters: int = 0,
-                                phase2_budget: int = 0) -> RefineResult:
+                                phase2_budget: int = 0,
+                                phase1_chunk: int = 0) -> RefineResult:
     """Batched 1-DoF epipolar GN (same math as refine_along_epipolar).
     All edge args (B,); epi_dir (B, 2). GN travel is bounded by the tile
     (+-(tile/2 - patch extent) px; documented deviation).
@@ -354,21 +363,22 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
                     out[1])
         return run_chunk
 
-    def run(args, delta0, it0, it_stop, act):
+    def run(args, delta0, it0, it_stop, act, chunk_=chunk):
         lx_, ly_, lt_, rx_, ry_, dir_ = args
         b = lx_.shape[0]
         it0_arr = jnp.full((b,), it0, jnp.int32)
         return TS.map_chunked(
             make_run(it_stop),
             (lx_, ly_, lt_, rx_, ry_, dir_, act, delta0, it0_arr),
-            b, chunk, active=act)
+            b, chunk_, active=act)
 
     args = (lx, ly, ltheta, rx, ry, epi_dir)
     if not phase1_iters or phase1_iters >= max_iter:
         res, _ = run(args, jnp.zeros((B,)), 0, max_iter, active)
         return res
     return _two_phase(run, B, args, active, jnp.zeros((B,)),
-                      phase1_iters, phase2_budget, max_iter, chunk)
+                      phase1_iters, phase2_budget, max_iter, chunk,
+                      phase1_chunk)
 
 
 def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
@@ -377,7 +387,8 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
                       tol: float = 1e-3, huber_delta: float = 3.0,
                       tile: int = 48, chunk: int = 2048,
                       active=None, phase1_iters: int = 0,
-                      phase2_budget: int = 0) -> RefineResult:
+                      phase2_budget: int = 0,
+                      phase1_chunk: int = 0) -> RefineResult:
     """Batched 2-DoF photometric GN (same math as refine_2dof); see
     refine_along_epipolar_batch for the `active` / `phase1_iters`
     semantics. The phase-1 initial displacement is d0 = kf - cf."""
@@ -460,14 +471,14 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
                     out[1])
         return run_chunk
 
-    def run(args, delta0, it0, it_stop, act):
+    def run(args, delta0, it0, it_stop, act, chunk_=chunk):
         kx_, ky_, kt_, cx_, cy_, ct_ = args
         b = kx_.shape[0]
         it0_arr = jnp.full((b,), it0, jnp.int32)
         return TS.map_chunked(
             make_run(it_stop),
             (kx_, ky_, kt_, cx_, cy_, ct_, act, delta0, it0_arr),
-            b, chunk, active=act)
+            b, chunk_, active=act)
 
     args = (kx, ky, ktheta, cx, cy, ctheta)
     d0 = jnp.stack([kx - cx, ky - cy], -1)
@@ -475,4 +486,5 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
         res, _ = run(args, d0, 0, max_iter, active)
         return res
     return _two_phase(run, B, args, active, d0,
-                      phase1_iters, phase2_budget, max_iter, chunk)
+                      phase1_iters, phase2_budget, max_iter, chunk,
+                      phase1_chunk)
