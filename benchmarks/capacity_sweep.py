@@ -58,6 +58,10 @@ POINTS = {
     "cq32": {"max_quad_candidates": 32},
     # tighter still: radius 12, slots 144
     "r12": {"temporal_grid_radius_prod": 12.0, "quad_gather_slots_prod": 144},
+    # GN phase tuning at the honest budgets (trace: GN ~390 of 1117 ms)
+    "p1_2": {"gn_phase1_iters": 2},
+    "p2_16k": {"gn_phase2_budget": 16384},
+    "p1_2_p2_16k": {"gn_phase1_iters": 2, "gn_phase2_budget": 16384},
 }
 
 

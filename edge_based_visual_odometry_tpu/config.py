@@ -79,6 +79,17 @@ class VOConfig:
     ransac_refine: bool = True     # inlier-set Kabsch refinement (new
                                    # capability; the reference returns the
                                    # raw 2-point winner)
+    # Preemptive two-stage scoring (deviation; cf. Nister's preemptive
+    # RANSAC): every hypothesis is first scored on the top-ranked
+    # `ransac_prescore_quads` quads of the PROSAC ordering, then only the
+    # best `ransac_prescore_keep` hypotheses are scored on the full quad
+    # set (the winner's inlier count stays a full-set count). ~6x less
+    # scoring work than the (K, Q) matrix at the round-4 budgets; the
+    # reference's sequential loop with adaptive termination likewise
+    # scores only a fraction of hypotheses exhaustively
+    # (MotionTracker.cpp:196-248). 0 disables (exact full scoring).
+    ransac_prescore_quads: int = 4096
+    ransac_prescore_keep: int = 256
 
     # --- TOED (definitions.h:76-77) ---
     toed_kernel_size: int = 17                 # (TOED_KERNEL_SIZE)

@@ -231,36 +231,60 @@ def estimate_pose(pq: PoseQuads, rig: RigArrays, cfg: VOConfig,
     Kt = jnp.einsum("ij,kj->ki", rig.K_left, t)     # (K, 3)
     chunk = 256
 
-    def score_chunk(args):
-        KG_c, Kt_c = args
-        uvw = (jnp.einsum("kij,qj->kqi", KG_c, pq.gamma)
-               + Kt_c[:, None, :])
-        uv = uvw[..., :2] / uvw[..., 2:3]
-        err = jnp.linalg.norm(uv - pq.cf_left[None], axis=-1)
-        # cheirality: a behind-camera point whose doubly-negated
-        # projection lands near the target must not count as an inlier
-        # (mirror-pose guard; the reference divides by z unchecked,
-        # score_Pose_Hypothesis MotionTracker.cpp:161-163 - a true pose
-        # only has positive-depth quads, so this gate never hurts it)
-        inl = ((err < cfg.ransac_max_reproj_error) & pq.valid[None]
-               & (uvw[..., 2] > 1e-6))
-        return jnp.sum(inl, axis=1)
+    def make_score(gamma, cf_left, valid):
+        def score_chunk(args):
+            KG_c, Kt_c = args
+            uvw = (jnp.einsum("kij,qj->kqi", KG_c, gamma)
+                   + Kt_c[:, None, :])
+            uv = uvw[..., :2] / uvw[..., 2:3]
+            err = jnp.linalg.norm(uv - cf_left[None], axis=-1)
+            # cheirality: a behind-camera point whose doubly-negated
+            # projection lands near the target must not count as an
+            # inlier (mirror-pose guard; the reference divides by z
+            # unchecked, score_Pose_Hypothesis MotionTracker.cpp:161-163
+            # - a true pose only has positive-depth quads, so this gate
+            # never hurts it)
+            inl = ((err < cfg.ransac_max_reproj_error) & valid[None]
+                   & (uvw[..., 2] > 1e-6))
+            return jnp.sum(inl, axis=1)
+        return score_chunk
 
-    n_chunks = -(-K // chunk)
-    pad = n_chunks * chunk - K
-    KG_p = jnp.pad(KG, ((0, pad), (0, 0), (0, 0))).reshape(
-        n_chunks, chunk, 3, 3)
-    Kt_p = jnp.pad(Kt, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
-    counts = jax.lax.map(score_chunk, (KG_p, Kt_p)).reshape(-1)[:K]
-    counts = jnp.where(gate, counts, -1)
+    def score_all(KG_s, Kt_s, score_chunk):
+        Ks = KG_s.shape[0]
+        n_chunks = -(-Ks // chunk)
+        pad = n_chunks * chunk - Ks
+        KG_p = jnp.pad(KG_s, ((0, pad), (0, 0), (0, 0))).reshape(
+            n_chunks, chunk, 3, 3)
+        Kt_p = jnp.pad(Kt_s, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+        return jax.lax.map(score_chunk, (KG_p, Kt_p)).reshape(-1)[:Ks]
 
-    best = jnp.argmax(counts)
-    best_count = jnp.maximum(counts[best], 0)
+    full_score = make_score(pq.gamma, pq.cf_left, pq.valid)
+    Qs = cfg.ransac_prescore_quads
+    if Qs and Qs < pq.gamma.shape[0]:
+        # Preemptive two-stage scoring (VOConfig.ransac_prescore_quads):
+        # rank every hypothesis on the TOP-Qs quads of the PROSAC
+        # ordering (pq.* is PROSAC-sorted, valid-first), then score only
+        # the best `keep` hypotheses on the full set.
+        pre_score = make_score(pq.gamma[:Qs], pq.cf_left[:Qs],
+                               pq.valid[:Qs])
+        counts_pre = jnp.where(gate, score_all(KG, Kt, pre_score), -1)
+        keep = min(cfg.ransac_prescore_keep, K)
+        top_pre, top_idx = jax.lax.top_k(counts_pre, keep)
+        counts_f = score_all(KG[top_idx], Kt[top_idx], full_score)
+        counts_f = jnp.where(top_pre >= 0, counts_f, -1)
+        best_local = jnp.argmax(counts_f)
+        best = top_idx[best_local]
+        best_raw = counts_f[best_local]
+    else:
+        counts = jnp.where(gate, score_all(KG, Kt, full_score), -1)
+        best = jnp.argmax(counts)
+        best_raw = counts[best]
+    best_count = jnp.maximum(best_raw, 0)
     n_q = jnp.maximum(pq.n_valid, 1)
     success = pq.n_valid >= 2
     I = jnp.eye(3, dtype=R.dtype)
-    R_best = jnp.where(success & (counts[best] >= 0), R[best], I)
-    t_best = jnp.where(success & (counts[best] >= 0), t[best],
+    R_best = jnp.where(success & (best_raw >= 0), R[best], I)
+    t_best = jnp.where(success & (best_raw >= 0), t[best],
                        jnp.zeros(3, R.dtype))
 
     if cfg.ransac_refine:

@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class ClusterResult(NamedTuple):
@@ -72,13 +73,21 @@ def cluster_edges(x, y, theta, mask,
     labels = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
 
     def body(_, lab):
-        # propagate min label across edges of the graph
+        # propagate min label across graph edges (reach distance d -> d+1)
         lab_j = jnp.broadcast_to(lab[..., None, :], adj.shape)
         masked = jnp.where(adj, lab_j, C)
-        return jnp.minimum(lab, jnp.min(masked, axis=-1))
+        lab = jnp.minimum(lab, jnp.min(masked, axis=-1))
+        # pointer-jump (path compression): lab[j] = lab[lab[j]] doubles
+        # the reach (min within 2d: lab[j] is a node within distance d
+        # whose own label is its min within distance d). Labels only
+        # decrease toward the component min, so this is exact CC.
+        return jnp.minimum(lab, jnp.take_along_axis(lab, lab, axis=-1))
 
-    # diameter <= C; C is small (<=32) so a fixed C-step loop is cheap
-    labels = jax.lax.fori_loop(0, C, body, labels)
+    # reach after k rounds: d_{k+1} = 2(d_k + 1), so ceil(log2 C) + 2
+    # rounds cover any diameter <= C (a C-step plain propagation spent
+    # C full (.., C, C) passes; the round-4 trace showed that traffic)
+    n_rounds = max(1, int(np.ceil(np.log2(max(C, 2)))) + 2)
+    labels = jax.lax.fori_loop(0, n_rounds, body, labels)
     labels = jnp.where(mask, labels, C)
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)

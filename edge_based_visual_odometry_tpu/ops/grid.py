@@ -71,28 +71,36 @@ def _band_window_positions(grid: SortedGrid, qx, qy, rx: float, ry: float,
                            slots_per_band: int, n_band_window: int):
     """Shared body of the box queries: searchsorted band spans ->
     (pos, mask) of shape (Q, n_band_window * slots_per_band) into the
-    sorted arrays."""
+    sorted arrays.
+
+    All n_band_window spans are resolved by ONE batched searchsorted
+    (lo and hi stacked into a single (2, K, Q) query tensor): the earlier
+    per-band python loop emitted 2*K separate searchsorted programs whose
+    aggregate op overhead showed up in the round-4 device trace."""
     W16 = jnp.int32(grid.width * 16)
     b0 = jnp.floor((qy - ry) / grid.band_h).astype(jnp.int32)
     xq_lo = jnp.clip(jnp.floor((qx - rx) * 16.0), 0,
                      grid.width * 16 - 1).astype(jnp.int32)
     xq_hi = jnp.clip(jnp.ceil((qx + rx) * 16.0), 0,
                      grid.width * 16 - 1).astype(jnp.int32)
-    outs_pos = []
-    outs_mask = []
-    offs = jnp.arange(slots_per_band, dtype=jnp.int32)
     N = grid.sorted_idx.shape[0]
-    for k in range(n_band_window):
-        b = b0 + k
-        b_ok = (b >= 0) & (b < grid.n_bands)
-        lo = jnp.searchsorted(grid.sorted_keys, b * W16 + xq_lo, side="left")
-        hi = jnp.searchsorted(grid.sorted_keys, b * W16 + xq_hi, side="right")
-        pos = lo[:, None] + offs[None, :]
-        m = (pos < hi[:, None]) & b_ok[:, None] & (pos < N)
-        outs_pos.append(jnp.minimum(pos, N - 1))
-        outs_mask.append(m)
-    return (jnp.concatenate(outs_pos, axis=-1),
-            jnp.concatenate(outs_mask, axis=-1))
+    ks = jnp.arange(n_band_window, dtype=jnp.int32)
+    b = b0[None, :] + ks[:, None]                       # (K, Q)
+    b_ok = (b >= 0) & (b < grid.n_bands)
+    keys = jnp.stack([b * W16 + xq_lo[None, :],
+                      b * W16 + xq_hi[None, :]])        # (2, K, Q)
+    lo = jnp.searchsorted(grid.sorted_keys, keys[0].reshape(-1),
+                          side="left").reshape(n_band_window, -1)
+    hi = jnp.searchsorted(grid.sorted_keys, keys[1].reshape(-1),
+                          side="right").reshape(n_band_window, -1)
+    offs = jnp.arange(slots_per_band, dtype=jnp.int32)
+    pos = lo[:, :, None] + offs[None, None, :]          # (K, Q, S)
+    m = (pos < hi[:, :, None]) & b_ok[:, :, None] & (pos < N)
+    pos = jnp.minimum(pos, N - 1)
+    # (K, Q, S) -> (Q, K*S), matching the previous per-band concat order
+    pos = jnp.transpose(pos, (1, 0, 2)).reshape(qx.shape[0], -1)
+    m = jnp.transpose(m, (1, 0, 2)).reshape(qx.shape[0], -1)
+    return pos, m
 
 
 def query_sorted_grid(grid: SortedGrid, qx, qy, rx: float, ry: float,

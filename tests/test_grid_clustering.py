@@ -123,3 +123,43 @@ def test_max_cluster_size_cap():
     assert (lab < 6).all()
     sizes = sorted(s for s in np.bincount(lab).tolist() if s)
     assert sizes == [1, 1, 4]
+
+
+def test_cluster_cc_pointer_jump_matches_union_find():
+    """The log-round propagate+jump connected components (clustering.py
+    body()) must be exact on adversarial chain graphs - the worst case
+    for bounded-round propagation (diameter == C)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    C, N = 48, 4
+    for _ in range(8):
+        x = np.cumsum(rng.uniform(0.3, 1.2, (N, C)), axis=1).astype(
+            np.float32)
+        y = np.zeros((N, C), np.float32)
+        th = rng.uniform(-0.1, 0.1, (N, C)).astype(np.float32)
+        mask = rng.random((N, C)) < 0.8
+        res = CL.cluster_edges(jnp.asarray(x), jnp.asarray(y),
+                               jnp.asarray(th), jnp.asarray(mask),
+                               dist_thresh=1.0, by_orientation=False,
+                               max_cluster_size=0)
+        lab = np.asarray(res.label)
+        for r in range(N):
+            parent = list(range(C))
+
+            def find(a):
+                while parent[a] != a:
+                    a = parent[a]
+                return a
+
+            for i in range(C):
+                for j in range(C):
+                    if (mask[r, i] and mask[r, j]
+                            and np.hypot(x[r, i] - x[r, j],
+                                         y[r, i] - y[r, j]) < 1.0):
+                        pi, pj = find(i), find(j)
+                        parent[max(pi, pj)] = min(pi, pj)
+            oracle = [min(k for k in range(C)
+                          if mask[r, k] and find(k) == find(j))
+                      if mask[r, j] else C for j in range(C)]
+            assert np.array_equal(lab[r], oracle), (r, lab[r], oracle)
