@@ -749,8 +749,8 @@ def _finalize(state: StereoState, frame: FrameData, rig: RigArrays,
         right_patches=r_patches * valid[:, None],
         left_patch_ok=l_patch_ok[row_of] & valid[:, None],
         right_patch_ok=r_patch_ok & valid[:, None],
-        left_desc=l_desc[row_of] * valid[:, None, None],
-        right_desc=r_desc * valid[:, None, None],
+        left_desc=l_desc[row_of] * valid[:, None],
+        right_desc=r_desc * valid[:, None],
         gamma=gamma * valid[:, None],
         gamma_gt=state.gamma_gt_l[row_of] * valid[:, None],
         gt_x=jnp.where(valid, gt_x, -1.0), gt_y=jnp.where(valid, gt_y, -1.0),

@@ -67,8 +67,8 @@ class StereoMates(NamedTuple):
     right_patches: jnp.ndarray  # (M, 2*P*P)
     left_patch_ok: jnp.ndarray  # (M, 2) bool
     right_patch_ok: jnp.ndarray
-    left_desc: jnp.ndarray      # (M, 2, D)
-    right_desc: jnp.ndarray     # (M, 2, D)
+    left_desc: jnp.ndarray      # (M, 2*D) bf16 flat [plus | minus]
+    right_desc: jnp.ndarray     # (M, 2*D)
     gamma: jnp.ndarray          # (M, 3) triangulated 3D point, left cam
     gamma_gt: jnp.ndarray       # (M, 3) GT-disparity 3D point (eval path)
     gt_x: jnp.ndarray           # (M,) GT right location (-1 without GT)

@@ -124,7 +124,10 @@ def edge_descriptors_tiled(gx_img, gy_img, x, y, theta, shift_mag: float = 8.0,
     reproduce the bilinear corner assignment (incl. boundary clamping),
     and a circular hat reproduces the two-bin orientation interpolation.
 
-    x, y, theta: (N,). Returns (N, 2, D).
+    x, y, theta: (N,). Returns FLAT (N, 2*D) bf16, [plus | minus]: a
+    (N, 2, D) stack pads its (2, D) minor dims to (16, 128) bf16 TPU
+    tiles (8x), inflating every downstream per-candidate gather; flat
+    (N, 2*D) is tile-exact.
     """
     from edge_based_visual_odometry_tpu.ops import tiled_sampling as TS
 
@@ -188,7 +191,7 @@ def edge_descriptors_tiled(gx_img, gy_img, x, y, theta, shift_mag: float = 8.0,
 
     act2 = None if active is None else jnp.concatenate([active, active])
     out = TS.map_chunked(run_chunk, (kx, ky, kt), 2 * N, chunk, active=act2)
-    return jnp.stack([out[:N], out[N:]], axis=1)
+    return jnp.concatenate([out[:N], out[N:]], axis=1)
 
 
 def min_cross_distance(desc_a, desc_b):
@@ -202,12 +205,20 @@ def min_cross_distance(desc_a, desc_b):
 def min_cross_distance_dot(desc_a, desc_b):
     """Same result as min_cross_distance via |a|^2 + |b|^2 - 2 a.b - the
     dot runs on the MXU and no (.., 2, 2, D) difference tensor is
-    materialized. desc_a: (B, 2, D); desc_b: (B, C, 2, D)."""
+    materialized. FLAT layout: desc_a (B, 2*D); desc_b (B, C, 2*D),
+    [plus | minus] halves (edge_descriptors_tiled). Halves are sliced at
+    the lane-aligned D boundary, so the gathered buffers stay tile-exact.
+    """
     a = desc_a.astype(jnp.float32)
     b = desc_b.astype(jnp.float32)
-    a2 = jnp.sum(a * a, -1)                     # (B, 2)
-    b2 = jnp.sum(b * b, -1)                     # (B, C, 2)
-    ab = jnp.einsum("bid,bcjd->bcij", a, b)     # (B, C, 2, 2)
-    d2 = a2[:, None, :, None] + b2[:, :, None, :] - 2.0 * ab
-    d2 = jnp.maximum(d2, 0.0)
-    return jnp.sqrt(jnp.min(d2, axis=(-2, -1)))
+    D = a.shape[-1] // 2
+    a_h = jnp.stack([a[..., :D], a[..., D:]], axis=-2)   # (B, 2, D)
+    d2s = []
+    for j, b_h in enumerate((b[..., :D], b[..., D:])):
+        a2 = jnp.sum(a_h * a_h, -1)                      # (B, 2)
+        b2 = jnp.sum(b_h * b_h, -1)                      # (B, C)
+        ab = jnp.einsum("bid,bcd->bci", a_h, b_h)        # (B, C, 2)
+        d2s.append(a2[:, None, :] + b2[..., None] - 2.0 * ab)
+    d2 = jnp.minimum(d2s[0], d2s[1])
+    d2 = jnp.maximum(jnp.min(d2, axis=-1), 0.0)
+    return jnp.sqrt(d2)

@@ -84,9 +84,11 @@ def test_descriptors_tiled_match_direct(rng):
     d_ref = DESC.edge_descriptors(
         jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(x), jnp.asarray(y),
         jnp.asarray(th))
-    # tiled descriptors are stored bf16 (documented); ~0.4% quantization
-    np.testing.assert_allclose(np.asarray(d_tiled, dtype=np.float32),
-                               np.asarray(d_ref), rtol=8e-3, atol=1.0)
+    # tiled descriptors are stored bf16 (documented); ~0.4% quantization.
+    # tiled layout is FLAT (N, 2*D) [plus | minus]
+    np.testing.assert_allclose(
+        np.asarray(d_tiled, dtype=np.float32),
+        np.asarray(d_ref).reshape(d_ref.shape[0], -1), rtol=8e-3, atol=1.0)
 
 
 def test_gn_batch_matches_scalar(rng):
