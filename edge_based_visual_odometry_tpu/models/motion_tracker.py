@@ -85,13 +85,18 @@ def lift_quads(kf: StereoMates, quads: TemporalQuads, rig: RigArrays,
     mask = quads.cmask & row_ok[:, None]
     n_cand_row = jnp.sum(mask, axis=1)
 
-    # PROSAC ordering: (row candidate count asc, row, slot) - ref :92-103
+    # PROSAC ordering: (row candidate count asc, row, slot) - ref :92-103.
+    # Only the first Q = max_pose_quads entries of the ordering are ever
+    # consumed, so select them with top_k on the negated key instead of a
+    # full (M*Cq,) argsort (keys are unique - the row*Cq+slot term breaks
+    # all ties - so this is exactly argsort(flat_key)[:Q]).
     order_key = (n_cand_row[:, None] * (M * Cq)
                  + jax.lax.broadcasted_iota(jnp.int32, (M, Cq), 0) * Cq
                  + jax.lax.broadcasted_iota(jnp.int32, (M, Cq), 1))
     big = jnp.int32(2**31 - 1)
     flat_key = jnp.where(mask, order_key, big).reshape(-1)
-    order = jnp.argsort(flat_key, stable=True)
+    Qsel = min(cfg.max_pose_quads, M * Cq)
+    _, order = jax.lax.top_k(-flat_key, Qsel)
 
     def flat(a):
         return a.reshape(M * Cq, *a.shape[2:])[order]

@@ -82,20 +82,22 @@ def build_stereo_step(rig: StereoRig, cfg: VOConfig, has_gt: bool,
             left = IMG.undistort(left, rig_arrays.K_left, dist_l)
         if need_undistort_r:
             right = IMG.undistort(right, rig_arrays.K_right, dist_r)
-        lgx, lgy = IMG.sobel_gradients(left)
-        rgx, rgy = IMG.sobel_gradients(right)
-        frame = FrameData(left=left, right=right, left_gx=lgx, left_gy=lgy,
-                          right_gx=rgx, right_gy=rgy)
-        led = toed.detect_edges(left, kernel_size=cfg.toed_kernel_size,
-                                sigma=cfg.toed_sigma,
-                                grad_mag_min=cfg.toed_grad_mag_min,
-                                max_edges=cfg.max_edges,
-                                border=cfg.toed_border)
-        red = toed.detect_edges(right, kernel_size=cfg.toed_kernel_size,
-                                sigma=cfg.toed_sigma,
-                                grad_mag_min=cfg.toed_grad_mag_min,
-                                max_edges=cfg.max_edges,
-                                border=cfg.toed_border)
+        # batch the two images through one detector/gradient program:
+        # left/right are data-independent, and two separate calls emitted
+        # two full copies of every TOED/sobel kernel (half-width each)
+        both = jnp.stack([left, right])
+        gxs, gys = jax.vmap(IMG.sobel_gradients)(both)
+        frame = FrameData(left=left, right=right,
+                          left_gx=gxs[0], left_gy=gys[0],
+                          right_gx=gxs[1], right_gy=gys[1])
+        eds = jax.vmap(lambda im: toed.detect_edges(
+            im, kernel_size=cfg.toed_kernel_size,
+            sigma=cfg.toed_sigma,
+            grad_mag_min=cfg.toed_grad_mag_min,
+            max_edges=cfg.max_edges,
+            border=cfg.toed_border))(both)
+        led = jax.tree_util.tree_map(lambda a: a[0], eds)
+        red = jax.tree_util.tree_map(lambda a: a[1], eds)
         out = SM.match_stereo(
             led, red, frame, rig_arrays, cfg,
             disparity_map=disparity if has_gt else None,
