@@ -86,17 +86,16 @@ def lift_quads(kf: StereoMates, quads: TemporalQuads, rig: RigArrays,
     n_cand_row = jnp.sum(mask, axis=1)
 
     # PROSAC ordering: (row candidate count asc, row, slot) - ref :92-103.
-    # Only the first Q = max_pose_quads entries of the ordering are ever
-    # consumed, so select them with top_k on the negated key instead of a
-    # full (M*Cq,) argsort (keys are unique - the row*Cq+slot term breaks
-    # all ties - so this is exactly argsort(flat_key)[:Q]).
-    order_key = (n_cand_row[:, None] * (M * Cq)
-                 + jax.lax.broadcasted_iota(jnp.int32, (M, Cq), 0) * Cq
-                 + jax.lax.broadcasted_iota(jnp.int32, (M, Cq), 1))
-    big = jnp.int32(2**31 - 1)
-    flat_key = jnp.where(mask, order_key, big).reshape(-1)
+    # Only the first Q = max_pose_quads entries are consumed, and the key's
+    # class domain (the row candidate count) is tiny, so a stable counting
+    # sort replaces the 786k-key top_k (which cost ~54 ms as an XLA sort in
+    # the round-5 trace; ops/sortfree.counting_sort_order). Slots past
+    # n_sel point at flat index 0 and are masked below via n_sel.
+    from edge_based_visual_odometry_tpu.ops import sortfree as SF
     Qsel = min(cfg.max_pose_quads, M * Cq)
-    _, order = jax.lax.top_k(-flat_key, Qsel)
+    cls = jnp.broadcast_to(n_cand_row[:, None], (M, Cq)).reshape(-1)
+    order, n_sel = SF.counting_sort_order(
+        cls, mask.reshape(-1), n_classes=Cq + 2, n_out=Qsel)
 
     def flat(a):
         return a.reshape(M * Cq, *a.shape[2:])[order]
@@ -113,12 +112,14 @@ def lift_quads(kf: StereoMates, quads: TemporalQuads, rig: RigArrays,
         & (dr < cfg.dist_to_gt_thresh_quads)
     if not use_gt:
         tp = jnp.zeros_like(tp)
-    valid = flat(mask)
     # The PROSAC sort puts valid quads first; truncate the flat list to the
     # pose-quad budget so RANSAC scoring stays HBM-bounded (valid count is
-    # ~1-2 per KF row; overflow beyond the budget is dropped).
-    Q = min(cfg.max_pose_quads, M * Cq)
-    valid = valid[:Q]
+    # ~1-2 per KF row; overflow beyond the budget is dropped). The n_sel
+    # gate kills the counting sort's zero-filled tail slots (which point
+    # at flat index 0, a possibly-valid entry).
+    Q = Qsel
+    valid = (flat(mask)[:Q]
+             & (jnp.arange(Q, dtype=jnp.int32) < n_sel))
     return PoseQuads(
         gamma=flat(Gamma_f)[:Q], gamma_bar=flat(Gamma_bar.reshape(M, Cq, 3))[:Q],
         tangent=flat(T_f)[:Q], tangent_bar=flat(T_bar.reshape(M, Cq, 3))[:Q],

@@ -43,6 +43,7 @@ from edge_based_visual_odometry_tpu.ops import descriptors as DESC
 from edge_based_visual_odometry_tpu.ops import gauss_newton as GN
 from edge_based_visual_odometry_tpu.ops import grid as GRID
 from edge_based_visual_odometry_tpu.ops import patches as P
+from edge_based_visual_odometry_tpu.ops import sortfree as SF
 from edge_based_visual_odometry_tpu.ops.toed import EdgeList
 
 # Stage names in cascade order (metric keys; reference stage labels at
@@ -108,7 +109,9 @@ def _bnb_keep(scores, mask, ratio_thresh: float, higher_better: bool):
         key = jnp.where(mask, -scores, big)
     else:
         key = jnp.where(mask, scores, big)
-    order = jnp.argsort(key, axis=-1, stable=True)
+    # one comparison-count pass yields the ascending order AND its inverse
+    # (XLA paid two bitonic sorts here; ops/sortfree.py)
+    inv, order = SF.argsort_rows_asc(key)
     s_sorted = jnp.take_along_axis(scores, order, axis=-1)
     m_sorted = jnp.take_along_axis(mask, order, axis=-1)
     best = s_sorted[..., 0:1]
@@ -122,8 +125,7 @@ def _bnb_keep(scores, mask, ratio_thresh: float, higher_better: bool):
     # rows with < 2 candidates are untouched (ref :801)
     n_cand = jnp.sum(mask, axis=-1, keepdims=True)
     keep_sorted = jnp.where(n_cand < 2, m_sorted, keep_sorted)
-    # scatter keep flags back to original slot order
-    inv = jnp.argsort(order, axis=-1)
+    # gather keep flags back to original slot order via the inverse perm
     keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
     return mask & keep
 
@@ -163,7 +165,7 @@ def _flatten_active(cmask, max_pairs: int):
     Returns (rows, slots, fmask) each (max_pairs,)."""
     N, C = cmask.shape
     flat = cmask.reshape(-1)
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    pos = SF.cumsum_i32(flat) - 1
     lin = jnp.arange(N * C, dtype=jnp.int32)
     # distinct OOB targets for dropped entries: unique_indices=True is a
     # promise, and duplicated (even dropped) indices are UB on TPU.
@@ -693,7 +695,7 @@ def _finalize(state: StereoState, frame: FrameData, rig: RigArrays,
     N = cfg.max_edges
     M = cfg.max_mates
     alive = state.row_mask
-    pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    pos = SF.cumsum_i32(alive) - 1
     # distinct OOB targets (see _flatten_active): inactive targets start
     # at N (not M) - alive rows can exceed M (measured 24k mates vs
     # max_mates), and pos >= M would collide with M + i

@@ -250,7 +250,8 @@ def _two_phase(run, B: int, args, active, delta0,
     # skipped all-inactive chunks zero-fill done -> force inactive=done
     done1 = done1 | ~active
     B2 = min(B, max(chunk, phase2_budget))
-    order = jnp.argsort(done1.astype(jnp.int32), stable=True)
+    from edge_based_visual_odometry_tpu.ops import sortfree as SF
+    order = SF.partition_order_stable(done1)   # unconverged-first, stable
     idx = order[:B2]
     act2 = ~done1[idx]
     args2 = jax.tree_util.tree_map(lambda a: a[idx], args)

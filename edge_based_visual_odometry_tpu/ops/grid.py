@@ -24,6 +24,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from edge_based_visual_odometry_tpu.ops import sortfree as SF
+
 
 class SortedGrid(NamedTuple):
     """Final sorted structure with int32 composite keys."""
@@ -60,7 +62,9 @@ def build_sorted_grid(x, y, valid, width: int, height: int,
     xq = jnp.clip(jnp.round(x * 16.0), 0, width * 16 - 1).astype(jnp.int32)
     key = band * W16 + xq
     key = jnp.where(valid, key, jnp.int32((n_bands + 1) * width * 16))
-    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    # comparison-count rank instead of XLA's bitonic argsort (~20 ms per
+    # 32k-key sort in the round-5 trace; ops/sortfree.py)
+    order = SF.argsort_flat_stable(key)
     if attrs is None:
         attrs = jnp.stack([x, y], -1)
     return SortedGrid(order, key[order], attrs.T[:, order],
@@ -135,8 +139,7 @@ def _compact_order(mask, capacity: int, priority):
                           -jnp.float32(2 * S))
     else:
         score = jnp.where(mask, -priority, -jnp.float32(3.0e38))
-    _, order = jax.lax.top_k(score, capacity)
-    return order
+    return SF.top_k_order_rows(score, capacity)
 
 
 def compact_candidates(idx, mask, capacity: int, priority=None):

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from edge_based_visual_odometry_tpu.ops import filters
+from edge_based_visual_odometry_tpu.ops import sortfree as SF
 
 
 class EdgeList(NamedTuple):
@@ -245,7 +246,7 @@ def extract_edges(subpix_x, subpix_y, subpix_mag, orient, valid,
                  & (ey > border) & (ey < img_height - border)
 
     flat_keep = keep.reshape(-1)
-    pos = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
+    pos = SF.cumsum_i32(flat_keep) - 1
     count = jnp.minimum(pos[-1] + 1, max_edges).astype(jnp.int32)
     # scatter in raster order; overflow beyond capacity is dropped.
     # Dropped entries get DISTINCT out-of-bounds targets (max_edges + i):
