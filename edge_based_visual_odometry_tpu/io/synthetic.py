@@ -39,6 +39,67 @@ def _texture(u: np.ndarray, v: np.ndarray, rng_seed: int = 7,
     return np.clip(out, 0.0, 255.0)
 
 
+_PHOTO_CACHE = {}
+
+
+def _load_photo(which: str = "china") -> np.ndarray:
+    """Grayscale real photograph from packages shipped in this
+    environment (no network): scikit-learn's sample photos (china.jpg /
+    flower.jpg, real 427x640 camera images) or matplotlib's
+    grace_hopper.jpg. Contrast-normalized to [30, 225]."""
+    if which in _PHOTO_CACHE:
+        return _PHOTO_CACHE[which]
+    if which in ("china", "flower"):
+        from sklearn.datasets import load_sample_images
+        imgs = load_sample_images()
+        arr = dict(zip(
+            [f.rsplit("/", 1)[-1].split(".")[0] for f in imgs.filenames],
+            imgs.images))[which]
+        gray = np.asarray(arr, np.float64).mean(-1)
+    else:
+        import matplotlib.cbook as cbook
+        from PIL import Image
+        p = cbook.get_sample_data("grace_hopper.jpg", asfileobj=False)
+        gray = np.asarray(Image.open(p).convert("L"), np.float64)
+    lo, hi = gray.min(), gray.max()
+    gray = 30.0 + (gray - lo) / max(hi - lo, 1e-9) * 195.0
+    _PHOTO_CACHE[which] = gray
+    return gray
+
+
+def _photo_texture(u: np.ndarray, v: np.ndarray, rng_seed: int = 7,
+                   which: str = "china",
+                   scale: float = 110.0) -> np.ndarray:
+    """Real-photograph texture: bilinear sample of a mirror-tiled real
+    photo over the world plane (rng_seed offsets the tile per plane so
+    the scene's planes carry different image content). Mirror tiling
+    keeps the function continuous; bilinear sampling keeps it
+    photometrically consistent across views to float precision, like the
+    analytic texture."""
+    photo = _load_photo(which)
+    H, W = photo.shape
+    rng = np.random.default_rng(rng_seed)
+    ou = rng.uniform(0, W)
+    ov = rng.uniform(0, H)
+
+    def mirror(a, n):
+        p = np.mod(a, 2.0 * (n - 1))
+        return np.where(p < (n - 1), p, 2.0 * (n - 1) - p)
+
+    x = mirror(u * scale + ou, W)
+    y = mirror(v * scale + ov, H)
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, W - 2)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, H - 2)
+    fx = x - x0
+    fy = y - y0
+    p00 = photo[y0, x0]
+    p01 = photo[y0, x0 + 1]
+    p10 = photo[y0 + 1, x0]
+    p11 = photo[y0 + 1, x0 + 1]
+    return ((1 - fy) * ((1 - fx) * p00 + fx * p01)
+            + fy * ((1 - fx) * p10 + fx * p11))
+
+
 @dataclasses.dataclass
 class SyntheticFrame:
     left: np.ndarray              # (H, W) float32
@@ -63,7 +124,7 @@ def default_rig(h: int = 240, w: int = 320) -> StereoRig:
 
 
 def _render(K: np.ndarray, R: np.ndarray, t: np.ndarray,
-            planes, h: int, w: int, seed: int):
+            planes, h: int, w: int, seed: int, texture_fn=None):
     """Render a set of textured planes {(n, c)} from camera (R, t):
     X_c = R X_w + t; per pixel the nearest positive ray-plane intersection
     wins (depth buffer). Multiple planes at different depths give the
@@ -89,8 +150,8 @@ def _render(K: np.ndarray, R: np.ndarray, t: np.ndarray,
         lam = np.where(lam > 0.1, lam, np.inf)
         lam_safe = np.where(np.isfinite(lam), lam, 0.0)
         X_w = (lam_safe[..., None] * d - t) @ R  # R^T (lam d - t)
-        tex = _texture(X_w[..., axes[0]], X_w[..., axes[1]],
-                       rng_seed=seed + 101 * pi)
+        tex = (texture_fn or _texture)(X_w[..., axes[0]], X_w[..., axes[1]],
+                                       rng_seed=seed + 101 * pi)
         closer = lam < best_lam
         img = np.where(closer, tex, img)
         best_lam = np.where(closer, lam, best_lam)
@@ -99,11 +160,20 @@ def _render(K: np.ndarray, R: np.ndarray, t: np.ndarray,
 
 
 def make_sequence(n_frames: int = 3, h: int = 240, w: int = 320,
-                  seed: int = 7) -> SyntheticSequence:
+                  seed: int = 7,
+                  texture: str = "analytic") -> SyntheticSequence:
     """Stereo frames of a slanted textured plane under forward+lateral
     motion with mild rotation. Disparity GT follows the reference's
     convention GT_right_x = left_x - disparity (same row, rectified rig;
-    src/Stereo_Matches.cpp:159)."""
+    src/Stereo_Matches.cpp:159).
+
+    texture: "analytic" (tanh-ridge closed form) or a real-photograph
+    name ("china" / "flower" / "grace_hopper") - real image statistics
+    over the exact synthetic geometry (the round-4 verdict's stand-in
+    for unfetchable real datasets; see docs/REAL_DATA.md)."""
+    import functools
+    texture_fn = (None if texture == "analytic"
+                  else functools.partial(_photo_texture, which=texture))
     rig = default_rig(h, w)
     K = rig.left.K
     baseline = -rig.T21_np[0]
@@ -134,11 +204,11 @@ def make_sequence(n_frames: int = 3, h: int = 240, w: int = 320,
         R = Rz @ Ry
         t = np.array([-0.05 * k, 0.01 * k, -0.08 * k])
 
-        left, depth, _ = _render(K, R, t, planes, h, w, seed)
+        left, depth, _ = _render(K, R, t, planes, h, w, seed, texture_fn)
         # right camera: X_r = R21 X_l + T21 -> world->right = (R21 R, R21 t + T21)
         Rr = rig.R21_np @ R
         tr = rig.R21_np @ t + rig.T21_np
-        right, _, _ = _render(K, Rr, tr, planes, h, w, seed)
+        right, _, _ = _render(K, Rr, tr, planes, h, w, seed, texture_fn)
         disparity = (K[0, 0] * baseline / depth).astype(np.float32)
         frames.append(SyntheticFrame(left=left, right=right,
                                      disparity=disparity,

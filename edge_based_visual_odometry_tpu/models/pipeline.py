@@ -239,6 +239,8 @@ class VOPipeline:
         self.frame_idx = 0
         self.stereo_metrics_log = []
         self.temporal_metrics_log = []
+        self.ba_info_log = []         # per-BA-solve info dicts (incl.
+                                      # host_assembly_s / solve_s timings)
         self.last_rel = geom.Pose.identity()             # predicted KF->CF
         self.prev_cam_pose: Optional[geom.Pose] = None   # previous frame world->cam
 
@@ -319,7 +321,8 @@ class VOPipeline:
                     self._ba_kf_frames.append(self.frame_idx)
                     out = self.wba.run()
                     if out is not None:
-                        poses, _ = out
+                        poses, ba_info = out
+                        self.ba_info_log.append(ba_info)
                         # Refresh the KEYFRAME entries of the trajectory +
                         # the current estimate. Under 'adaptive' keyframes
                         # are a sparse subset of frames, so write back at

@@ -109,11 +109,15 @@ def _bnb_keep(scores, mask, ratio_thresh: float, higher_better: bool):
         key = jnp.where(mask, -scores, big)
     else:
         key = jnp.where(mask, scores, big)
-    # one comparison-count pass yields the ascending order AND its inverse
-    # (XLA paid two bitonic sorts here; ops/sortfree.py)
-    inv, order = SF.argsort_rows_asc(key)
-    s_sorted = jnp.take_along_axis(scores, order, axis=-1)
-    m_sorted = jnp.take_along_axis(mask, order, axis=-1)
+    # one comparison-count pass yields the ascending rank; sorted views
+    # and the write-back are one-hot dot_generals - no sorts, no per-row
+    # gathers (XLA paid two bitonic sorts + three take_along gathers
+    # here; ops/sortfree.py)
+    rank = SF.rank_desc_rows(-key)
+    sm = SF.compact_by_rank(rank, C, jnp.stack(
+        [scores, mask.astype(jnp.float32)]))
+    s_sorted = sm[0]
+    m_sorted = sm[1] > 0.5
     best = s_sorted[..., 0:1]
     if higher_better:
         ratio = s_sorted / best
@@ -125,8 +129,8 @@ def _bnb_keep(scores, mask, ratio_thresh: float, higher_better: bool):
     # rows with < 2 candidates are untouched (ref :801)
     n_cand = jnp.sum(mask, axis=-1, keepdims=True)
     keep_sorted = jnp.where(n_cand < 2, m_sorted, keep_sorted)
-    # gather keep flags back to original slot order via the inverse perm
-    keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
+    # map keep flags back to original slot order via the rank one-hot
+    keep = SF.expand_by_rank(rank, keep_sorted.astype(jnp.float32)) > 0.5
     return mask & keep
 
 

@@ -39,6 +39,12 @@ class SortedGrid(NamedTuple):
                                # whose A=6 lane axis padded to 128 on TPU
                                # (21x HBM inflation - the round-3
                                # max_mates=32768 OOM, capacity_sweep.py)
+    start: jnp.ndarray         # (n_bands * W * 16 + 1,) int32 bucket
+                               # start table: start[k] = #sorted keys < k.
+                               # Replaces searchsorted range location with
+                               # an O(1) lookup (the binary search's
+                               # log(N) serial gathers cost ~50 ms/frame
+                               # in the round-5 trace)
     band_h: float
     n_bands: int
     width: int
@@ -67,7 +73,14 @@ def build_sorted_grid(x, y, valid, width: int, height: int,
     order = SF.argsort_flat_stable(key)
     if attrs is None:
         attrs = jnp.stack([x, y], -1)
-    return SortedGrid(order, key[order], attrs.T[:, order],
+    # bucket start table: histogram over the key domain + prefix sum.
+    # start[k] = #valid keys < k, i.e. searchsorted(sorted_keys, k, 'left')
+    # for every k in [0, n_bands * W16] - queries become O(1) lookups.
+    nb = n_bands * width * 16
+    hist = jnp.zeros((nb + 1,), jnp.int32).at[
+        jnp.minimum(key, nb)].add(valid.astype(jnp.int32), mode="drop")
+    start = SF.cumsum_i32(hist) - hist               # exclusive
+    return SortedGrid(order, key[order], attrs.T[:, order], start,
                       float(band_h), int(n_bands), int(width))
 
 
@@ -77,11 +90,11 @@ def _band_window_positions(grid: SortedGrid, qx, qy, rx: float, ry: float,
     (pos, mask) of shape (Q, n_band_window * slots_per_band) into the
     sorted arrays.
 
-    All n_band_window spans are resolved by ONE batched searchsorted
-    (lo and hi stacked into a single (2, K, Q) query tensor): the earlier
-    per-band python loop emitted 2*K separate searchsorted programs whose
-    aggregate op overhead showed up in the round-4 device trace."""
+    Spans are located with the precomputed bucket start table (O(1) per
+    query) rather than searchsorted - the binary search's log(N) serial
+    gather rounds cost ~50 ms/frame in the round-5 device trace."""
     W16 = jnp.int32(grid.width * 16)
+    nb = jnp.int32(grid.n_bands) * W16
     b0 = jnp.floor((qy - ry) / grid.band_h).astype(jnp.int32)
     xq_lo = jnp.clip(jnp.floor((qx - rx) * 16.0), 0,
                      grid.width * 16 - 1).astype(jnp.int32)
@@ -91,12 +104,11 @@ def _band_window_positions(grid: SortedGrid, qx, qy, rx: float, ry: float,
     ks = jnp.arange(n_band_window, dtype=jnp.int32)
     b = b0[None, :] + ks[:, None]                       # (K, Q)
     b_ok = (b >= 0) & (b < grid.n_bands)
-    keys = jnp.stack([b * W16 + xq_lo[None, :],
-                      b * W16 + xq_hi[None, :]])        # (2, K, Q)
-    lo = jnp.searchsorted(grid.sorted_keys, keys[0].reshape(-1),
-                          side="left").reshape(n_band_window, -1)
-    hi = jnp.searchsorted(grid.sorted_keys, keys[1].reshape(-1),
-                          side="right").reshape(n_band_window, -1)
+    # out-of-range bands are masked by b_ok; clamp their table indices
+    k_lo = jnp.clip(b * W16 + xq_lo[None, :], 0, nb)
+    k_hi = jnp.clip(b * W16 + xq_hi[None, :] + 1, 0, nb)
+    lo = grid.start[k_lo]       # searchsorted(keys, k, side='left')
+    hi = grid.start[k_hi]       # searchsorted(keys, k, side='right')
     offs = jnp.arange(slots_per_band, dtype=jnp.int32)
     pos = lo[:, :, None] + offs[None, None, :]          # (K, Q, S)
     m = (pos < hi[:, :, None]) & b_ok[:, :, None] & (pos < N)
@@ -129,35 +141,62 @@ def query_sorted_grid_attrs(grid: SortedGrid, qx, qy, rx: float, ry: float,
     return idx, grid.sorted_attrs[:, pos], mask
 
 
-def _compact_order(mask, capacity: int, priority):
-    """top_k slot ordering shared by the compaction variants: valid
+def _compact_score(mask, priority):
+    """Slot-ranking score shared by the compaction variants: valid
     entries first (original order, or ascending `priority`)."""
     S = mask.shape[-1]
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
     if priority is None:
-        score = jnp.where(mask, -slot_iota.astype(jnp.float32),
-                          -jnp.float32(2 * S))
-    else:
-        score = jnp.where(mask, -priority, -jnp.float32(3.0e38))
-    return SF.top_k_order_rows(score, capacity)
+        return jnp.where(mask, -slot_iota.astype(jnp.float32),
+                         -jnp.float32(2 * S))
+    return jnp.where(mask, -priority, -jnp.float32(3.0e38))
+
+
+# beyond this row width the O(S^2) comparison rank loses to XLA's sort;
+# only the once-per-sequence bootstrap temporal window (S=576) exceeds it
+_MAX_RANK_WIDTH = 384
+
+
+def _compact_planes(mask, capacity, priority, planes):
+    """Compact (A, Q, S) f32 planes to (A, Q, capacity), valid slots
+    first (by `priority` when given). Two regimes:
+
+      S <= _MAX_RANK_WIDTH: comparison-count rank + ONE one-hot
+        dot_general (sortfree.compact_by_rank) - no gathers at all
+        (per-row take_along gathers measured ~4 ms/plane at production
+        shapes, round-5 trace). Dead output slots are 0.0.
+      wider: XLA top_k + take_along_axis (the pre-round-5 formulation).
+
+    Returns (A, Q, capacity) f32; callers re-cast idx/mask planes.
+    """
+    S = mask.shape[-1]
+    score = _compact_score(mask, priority)
+    if SF.ENABLED and S <= _MAX_RANK_WIDTH:
+        rank = SF.rank_desc_rows(score)
+        return SF.compact_by_rank(rank, capacity, planes)
+    _, order = jax.lax.top_k(score, capacity)
+    return jnp.take_along_axis(planes, order[None], axis=-1)
 
 
 def compact_candidates(idx, mask, capacity: int, priority=None):
     """Compact (Q, S) masked slots to (Q, capacity).
 
     Valid entries move to the front preserving order (or by ascending
-    `priority` when given). Overflow beyond capacity is dropped. Uses
-    top_k (cheaper than a full row argsort on TPU).
+    `priority` when given). Overflow beyond capacity is dropped.
+    NOTE: dead output slots (rank >= #valid) carry idx 0 / value 0.0 with
+    mask False - consume only masked slots.
     """
-    order = _compact_order(mask, capacity, priority)
-    return (jnp.take_along_axis(idx, order, axis=-1),
-            jnp.take_along_axis(mask, order, axis=-1))
+    planes = jnp.stack([idx.astype(jnp.float32),
+                        mask.astype(jnp.float32)])
+    out = _compact_planes(mask, capacity, priority, planes)
+    return out[0].astype(jnp.int32), out[1] > 0.5
 
 
 def compact_candidates_attrs(idx, attrs, mask, capacity: int, priority=None):
     """compact_candidates + carry the attribute-major (A, Q, S) attribute
     planes along (-> (A, Q, capacity))."""
-    order = _compact_order(mask, capacity, priority)
-    return (jnp.take_along_axis(idx, order, axis=-1),
-            jnp.take_along_axis(attrs, order[None], axis=-1),
-            jnp.take_along_axis(mask, order, axis=-1))
+    planes = jnp.concatenate([
+        jnp.stack([idx.astype(jnp.float32), mask.astype(jnp.float32)]),
+        attrs], axis=0)
+    out = _compact_planes(mask, capacity, priority, planes)
+    return out[0].astype(jnp.int32), out[2:], out[1] > 0.5

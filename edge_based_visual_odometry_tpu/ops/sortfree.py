@@ -184,6 +184,48 @@ def top_k_order_rows(score: jnp.ndarray, capacity: int,
     return order_from_rank(rank, capacity)
 
 
+def compact_by_rank(rank: jnp.ndarray, capacity: int, planes: jnp.ndarray,
+                    chunk: int = 4096) -> jnp.ndarray:
+    """Gather-free compaction: out[a, n, r] = planes[a, n, s] where
+    rank[n, s] == r (0.0 where no slot has rank r), for r < capacity.
+
+    planes: (A, N, S) float32 value planes sharing one rank permutation.
+    Equivalent to stacking take_along_axis(plane, order) with
+    order = order_from_rank(rank, capacity) - but as ONE one-hot
+    dot_general on the MXU instead of A per-row gathers (the round-5
+    trace measured those gathers at ~4 ms per plane at (32768, 160)).
+    Exact: the one-hot operand is 0/1 (exactly representable at any
+    precision) and each output is a sum with exactly one nonzero term;
+    HIGHEST precision keeps the f32 value operand exact.
+    """
+    A, N, S = planes.shape
+
+    def one_chunk(args):
+        rk, pl = args                   # (c, S), (c, A, S)
+        oh = (rk[:, :, None]
+              == jnp.arange(capacity, dtype=rk.dtype)[None, None, :])
+        return jnp.einsum("nas,nsr->nar", pl, oh.astype(jnp.float32),
+                          precision=_EXACT)
+
+    planes_nm = jnp.moveaxis(planes, 0, 1)          # (N, A, S)
+    if N <= chunk:
+        out = one_chunk((rank, planes_nm))
+    else:
+        out = _row_chunked(one_chunk, (rank, planes_nm), N, chunk)
+    return jnp.moveaxis(out, 1, 0)                  # (A, N, capacity)
+
+
+def expand_by_rank(rank: jnp.ndarray, row_vals: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of compact_by_rank for full-width permutations:
+    out[n, s] = row_vals[n, rank[n, s]] (take_along_axis by rank) as a
+    one-hot dot_general. row_vals: (N, R) f32; rank values must be < R."""
+    N, R = row_vals.shape
+    oh = (rank[:, :, None]
+          == jnp.arange(R, dtype=rank.dtype)[None, None, :])
+    return jnp.einsum("nr,nsr->ns", row_vals, oh.astype(jnp.float32),
+                      precision=_EXACT)
+
+
 def argsort_rows_asc(key: jnp.ndarray, chunk: int = 2048):
     """(rank, order) for stable ascending per-row argsort of (N, S) keys:
     order == jnp.argsort(key, axis=-1, stable=True) and rank == its

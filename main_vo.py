@@ -302,12 +302,28 @@ def main(argv=None):
         ate = MET.ate_rmse(pipe.trajectory, gt_traj)
         rpe_t, rpe_r = MET.rpe_stats(pipe.trajectory, gt_traj)
         print(f"ATE RMSE = {ate:.4f} m | RPE = {rpe_t:.4f} m, {rpe_r:.4f} deg")
+        rec = {"ate_rmse": ate, "rpe_trans": rpe_t,
+               "rpe_rot_deg": rpe_r, "frames": n,
+               "frames_processed": max(done, 0),
+               # resumed (skipped) frames must not inflate fps
+               "frames_per_s": max(done, 0) / dt}
+        if pipe.ba_info_log:
+            # windowed-BA cost split (round-4 verdict item 5: prove host
+            # bookkeeping < device solve at production shapes)
+            import numpy as _np
+            rec["ba"] = {
+                "solves": len(pipe.ba_info_log),
+                "mean_landmarks": float(_np.mean(
+                    [b["n_landmarks"] for b in pipe.ba_info_log])),
+                "mean_obs": float(_np.mean(
+                    [b["n_obs"] for b in pipe.ba_info_log])),
+                "mean_host_assembly_s": float(_np.mean(
+                    [b["host_assembly_s"] for b in pipe.ba_info_log])),
+                "mean_solve_s": float(_np.mean(
+                    [b["solve_s"] for b in pipe.ba_info_log])),
+            }
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
-            json.dump({"ate_rmse": ate, "rpe_trans": rpe_t,
-                       "rpe_rot_deg": rpe_r, "frames": n,
-                       "frames_processed": max(done, 0),
-                       # resumed (skipped) frames must not inflate fps
-                       "frames_per_s": max(done, 0) / dt}, f, indent=2)
+            json.dump(rec, f, indent=2)
 
     if args.save_viz:
         from edge_based_visual_odometry_tpu.viz.__main__ import _render_all

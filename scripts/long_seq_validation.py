@@ -160,6 +160,7 @@ def main():
         "rpe_trans_m": metrics["rpe_trans"],
         "rpe_rot_deg": metrics["rpe_rot_deg"],
         "frames_per_s": metrics["frames_per_s"],
+        "ba": metrics.get("ba"),
         "collapsed_frames": bad,
         "pass": bool(ate is not None and ate < bound and not bad),
     }

@@ -133,3 +133,47 @@ def test_disabled_flag_reverts_to_xla(monkeypatch):
     x = jnp.asarray(rng(2).integers(0, 2, 999).astype(np.int32))
     np.testing.assert_array_equal(np.asarray(SF.cumsum_i32(x)),
                                   np.cumsum(np.asarray(x)))
+
+
+# ------------------------------------------- one-hot compaction / expand
+
+def test_compact_by_rank_matches_take_along():
+    g = rng(21)
+    N, S, cap = 200, 37, 8
+    score = g.normal(size=(N, S)).astype(np.float32)
+    score[g.random(size=(N, S)) < 0.3] = -np.float32(3.0e38)
+    planes = g.normal(size=(3, N, S)).astype(np.float32) * 1e3
+    rank = SF.rank_desc_rows(jnp.asarray(score))
+    got = np.asarray(SF.compact_by_rank(rank, cap, jnp.asarray(planes)))
+    _, order = jax.lax.top_k(jnp.asarray(score), cap)
+    want = np.asarray(jnp.take_along_axis(
+        jnp.asarray(planes), np.asarray(order)[None], axis=-1))
+    np.testing.assert_array_equal(got, want)   # bit-exact f32 passthrough
+
+
+def test_expand_by_rank_matches_take_along():
+    g = rng(22)
+    N, S = 64, 16
+    rank = np.stack([g.permutation(S) for _ in range(N)]).astype(np.int32)
+    vals = g.normal(size=(N, S)).astype(np.float32) / 3.0
+    got = np.asarray(SF.expand_by_rank(jnp.asarray(rank), jnp.asarray(vals)))
+    want = np.take_along_axis(vals, rank, axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_grid_bucket_table_matches_searchsorted():
+    from edge_based_visual_odometry_tpu.ops import grid as GRID
+    g = rng(23)
+    n, W, H = 700, 100, 64
+    x = g.uniform(0, W - 1, n).astype(np.float32)
+    y = g.uniform(0, H - 1, n).astype(np.float32)
+    valid = g.random(n) < 0.8
+    gr = GRID.build_sorted_grid(jnp.asarray(x), jnp.asarray(y),
+                                jnp.asarray(valid), W, H, band_h=8)
+    sk = np.asarray(gr.sorted_keys)
+    start = np.asarray(gr.start)
+    nb = gr.n_bands * W * 16
+    probes = g.integers(0, nb + 1, size=500)
+    valid_keys = sk[: int(valid.sum())]       # invalid sort to the tail
+    for k in probes:
+        assert start[k] == np.searchsorted(valid_keys, k, side="left")
