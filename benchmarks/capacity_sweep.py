@@ -62,6 +62,21 @@ POINTS = {
     "p1_2": {"gn_phase1_iters": 2},
     "p2_16k": {"gn_phase2_budget": 16384},
     "p1_2_p2_16k": {"gn_phase1_iters": 2, "gn_phase2_budget": 16384},
+    # round-5 headroom arm (verdict item 6): does the bulletproof
+    # max_mates == max_edges capacity (mates can never truncate since
+    # mates <= left edge count) cost acceptable temporal-step time?
+    "mates32k": {"max_mates": 32768},
+    # round-5 GN tile arm: T=40 -> 32 cuts the sampling einsum's T*U
+    # contraction 0.64x but shrinks the GN travel bound from +-5.2 to
+    # +-2.2 px (quality-gated: watch pose errors + inlier ratio)
+    "tile32": {"gn_tile": 32},
+    # round-5 flat temporal NCC/desc gates (work scales with occupancy)
+    "tflat": {"temporal_gate_layout": "flat"},
+    # round-5 winning combination candidates
+    "r5combo": {"gn_phase1_iters": 2, "gn_phase2_budget": 16384,
+                "gn_tile": 32},
+    "r5combo_flat": {"gn_phase1_iters": 2, "gn_phase2_budget": 16384,
+                     "gn_tile": 32, "temporal_gate_layout": "flat"},
 }
 
 

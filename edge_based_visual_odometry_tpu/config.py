@@ -159,6 +159,12 @@ class VOConfig:
     # so dense is both the safe and the simple choice. "flat4"/"flat5"
     # apply the flat layout to ONLY the descriptor (4) or NCC (5) stage -
     # single-stage bisect arms (scripts/bisect_flat.py).
+    # Temporal NCC/desc gate layout: "dense" ((M, Cq) full computation) |
+    # "flat" (compact active pairs first; work scales with the ~20%
+    # post-orientation occupancy). Identical results for live slots;
+    # flat's budget overflow passes unscored (stereo flat-gate rule).
+    temporal_gate_layout: str = "dense"
+    temporal_gate_pairs: int = 262144   # flat budget (of M * Cq slots)
     max_quad_candidates: int = 32   # per-KF-mate temporal candidate capacity
     # (sized 48 for the reference's radius-30 window; the prediction-
     # centered radius-16 production window has ~4x less ambiguity, and
@@ -227,6 +233,10 @@ class VOConfig:
             raise ValueError(
                 f"temporal_gather_mode must be 'prediction' or 'reference', "
                 f"got {self.temporal_gather_mode!r}")
+        if self.temporal_gate_layout not in ("dense", "flat"):
+            raise ValueError(
+                f"temporal_gate_layout must be 'dense' or 'flat', "
+                f"got {self.temporal_gate_layout!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -268,28 +268,89 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
         metrics.append(_quad_metrics(qq, kf.is_tp, cfg.dist_to_gt_thresh_quads)
                        if use_gt else _count_row(qq.cmask))
 
-    # ---- NCC both sides from stored patches (ref :416-469) ----
+    # ---- NCC + descriptor gates, both sides (ref :416-515) ----
+    # ONE wide row gather for both sides: TPU gather cost is dominated by
+    # per-row overhead at these row widths, so fetching the concatenated
+    # [left | right] patch rows (1568 B) once beats two 784 B gathers of
+    # the same bytes (round-5 trace: temporal top-level gathers ~125 ms).
+    # Two layouts (cfg.temporal_gate_layout):
+    #   "dense": full (M, Cq) computation (every slot, masked later);
+    #   "flat":  compact active (row, slot) pairs to a flat list first -
+    #            gather volume and NCC/desc work scale with the ~20%
+    #            post-orientation occupancy instead of M*Cq, chunk
+    #            skipping frees the budget tail. Results identical for
+    #            live slots; budget-overflow actives stay alive with
+    #            just-passing scores (the stereo flat-gate rule).
     pp_n = cfg.patch_size * cfg.patch_size
+    two = 2 * pp_n
+    cf_pat_lr = jnp.concatenate([cf.left_patches, cf.right_patches], -1)
+    cok_lr_src = jnp.concatenate([cf.left_patch_ok, cf.right_patch_ok], -1)
+    cf_desc_lr = jnp.concatenate([cf.left_desc, cf.right_desc], -1)
+    D2 = cf.left_desc.shape[-1]
 
-    def side_ncc(kf_patches, kf_ok, cf_patches, cf_ok):
-        cpat = cf_patches[q.cf_idx]        # (M, Cq, 2*P*P) flat [plus|minus]
-        cok = cf_ok[q.cf_idx]
-        return P.ncc4(kf_patches[:, None, :pp_n], kf_patches[:, None, pp_n:],
-                      kf_ok[:, None, 0], kf_ok[:, None, 1],
-                      cpat[:, :, :pp_n], cpat[:, :, pp_n:],
-                      cok[:, :, 0], cok[:, :, 1])
-    sim_l = side_ncc(kf.left_patches, kf.left_patch_ok,
-                     cf.left_patches, cf.left_patch_ok)
-    sim_r = side_ncc(kf.right_patches, kf.right_patch_ok,
-                     cf.right_patches, cf.right_patch_ok)
+    if cfg.temporal_gate_layout == "flat":
+        from edge_based_visual_odometry_tpu.models.stereo_matcher import (
+            _flatten_active as _fa, _scatter_back as _sb)
+        from edge_based_visual_odometry_tpu.ops import tiled_sampling as TS
+        budget = min(cfg.temporal_gate_pairs, M * Cq)
+        rows6, slots6, fmask6 = _fa(q.cmask, budget)
+        cfi6 = q.cf_idx[rows6, slots6]
+
+        def _gate_chunk(args):
+            rows_c, cfi_c = args
+            cp = cf_pat_lr[cfi_c]
+            cok = cok_lr_src[cfi_c]
+            kl = kf.left_patches[rows_c]
+            klok = kf.left_patch_ok[rows_c]
+            kr = kf.right_patches[rows_c]
+            krok = kf.right_patch_ok[rows_c]
+            sl = P.ncc4(kl[:, :pp_n], kl[:, pp_n:], klok[:, 0], klok[:, 1],
+                        cp[:, :pp_n], cp[:, pp_n:two], cok[:, 0], cok[:, 1])
+            sr = P.ncc4(kr[:, :pp_n], kr[:, pp_n:], krok[:, 0], krok[:, 1],
+                        cp[:, two:two + pp_n], cp[:, two + pp_n:],
+                        cok[:, 2], cok[:, 3])
+            cd = cf_desc_lr[cfi_c]
+            dl_c = DESC.min_cross_distance_dot(
+                kf.left_desc[rows_c], cd[:, None, :D2])[:, 0]
+            dr_c = DESC.min_cross_distance_dot(
+                kf.right_desc[rows_c], cd[:, None, D2:])[:, 0]
+            return jnp.stack([sl, sr, dl_c, dr_c], -1)
+
+        out = TS.map_chunked(_gate_chunk, (rows6, cfi6), budget,
+                             cfg.gate_chunk, active=fmask6)
+        ncc_pass = cfg.temporal_ncc_thresh + 1e-6
+        sift_pass = cfg.temporal_sift_thresh * (1.0 - 1e-6)
+        sim_l = _sb(jnp.full((M, Cq), ncc_pass, jnp.float32),
+                    rows6, slots6, fmask6, out[:, 0])
+        sim_r = _sb(jnp.full((M, Cq), ncc_pass, jnp.float32),
+                    rows6, slots6, fmask6, out[:, 1])
+        dl = _sb(jnp.full((M, Cq), sift_pass, jnp.float32),
+                 rows6, slots6, fmask6, out[:, 2])
+        dr = _sb(jnp.full((M, Cq), sift_pass, jnp.float32),
+                 rows6, slots6, fmask6, out[:, 3])
+    else:
+        cpat_lr = cf_pat_lr[q.cf_idx]    # (M, Cq, 2 * 2*P*P)
+        cok_lr = cok_lr_src[q.cf_idx]                   # (M, Cq, 4)
+
+        def side_ncc(kf_patches, kf_ok, cpat, cok):
+            return P.ncc4(kf_patches[:, None, :pp_n],
+                          kf_patches[:, None, pp_n:],
+                          kf_ok[:, None, 0], kf_ok[:, None, 1],
+                          cpat[:, :, :pp_n], cpat[:, :, pp_n:],
+                          cok[:, :, 0], cok[:, :, 1])
+        sim_l = side_ncc(kf.left_patches, kf.left_patch_ok,
+                         cpat_lr[:, :, :two], cok_lr[:, :, :2])
+        sim_r = side_ncc(kf.right_patches, kf.right_patch_ok,
+                         cpat_lr[:, :, two:], cok_lr[:, :, 2:])
+        cdesc_lr = cf_desc_lr[q.cf_idx]                 # (M, Cq, 2*D)
+        dl = DESC.min_cross_distance_dot(kf.left_desc, cdesc_lr[..., :D2])
+        dr = DESC.min_cross_distance_dot(kf.right_desc, cdesc_lr[..., D2:])
+
     q = q._replace(cmask=q.cmask & (sim_l > cfg.temporal_ncc_thresh)
                    & (sim_r > cfg.temporal_ncc_thresh),
                    ncc_l=sim_l)
     record(q)
 
-    # ---- descriptor both sides from stored descriptors (ref :471-515) ----
-    dl = DESC.min_cross_distance_dot(kf.left_desc, cf.left_desc[q.cf_idx])
-    dr = DESC.min_cross_distance_dot(kf.right_desc, cf.right_desc[q.cf_idx])
     q = q._replace(cmask=q.cmask & (dl < cfg.temporal_sift_thresh)
                    & (dr < cfg.temporal_sift_thresh),
                    desc_l=dl)

@@ -61,12 +61,11 @@ def test_pipeline_with_windowed_ba():
         pipe.run_frame(f.left, f.right)
     assert pipe.wba is not None
     assert len(pipe.wba.kf_poses) == 4
-    # tracks must actually chain across keyframes
-    counts = {}
-    for tr in pipe.wba.kf_tracks:
-        for tid in tr.values():
-            counts[tid] = counts.get(tid, 0) + 1
-    n_chained = sum(1 for c in counts.values() if c >= 2)
+    # tracks must actually chain across keyframes (array-based kf_tid:
+    # each (M,) column holds a track id or -1)
+    tids = np.concatenate([t[t >= 0] for t in pipe.wba.kf_tid])
+    _, counts = np.unique(tids, return_counts=True)
+    n_chained = int((counts >= 2).sum())
     assert n_chained > 50, f"only {n_chained} chained tracks"
     ate = MET.ate_rmse(pipe.trajectory, gt, align=False)
     assert ate < 0.06, f"BA trajectory ATE {ate:.4f}"

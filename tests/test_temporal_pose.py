@@ -115,3 +115,35 @@ def test_constraint_sweep(two_frames):
     # geometric gates almost nothing to remove - clipping a TP or two
     # now moves precision by ~1%.)
     assert rows[-1, 1] >= rows[0, 1] - 0.02
+
+
+def test_flat_temporal_gate_matches_dense(two_frames):
+    """temporal_gate_layout='flat' must reproduce the dense quad cascade
+    exactly on live slots (same cmask, same centers) when the flat budget
+    covers all actives - the stereo flat-gate equivalence, applied to the
+    temporal NCC/desc stages."""
+    import dataclasses
+    seq, rig, frames, rel = two_frames
+    (f0, fd0, m0), (f1, fd1, m1) = frames
+    cfg_flat = dataclasses.replace(CFG, temporal_gate_layout="flat",
+                                   temporal_gate_pairs=49152)
+    qd, md = TM.match_temporal(m0, m1, fd0, fd1, rel, rig, CFG, use_gt=True)
+    qf, mf = TM.match_temporal(m0, m1, fd0, fd1, rel, rig, cfg_flat,
+                               use_gt=True)
+    np.testing.assert_array_equal(np.asarray(qd.cmask), np.asarray(qf.cmask))
+    live = np.asarray(qd.cmask)
+    for name in ("lcx", "lcy", "lct", "rcx", "rcy", "rct"):
+        a = np.asarray(getattr(qd, name))[live]
+        b = np.asarray(getattr(qf, name))[live]
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    # scores reduce in a different batch shape (per-pair vs (M, Cq)
+    # dots) -> f32 summation-order noise for NCC; the descriptor
+    # distances additionally run on bf16 storage, where the two
+    # contraction shapes round at bf16 granularity (~0.4% rel)
+    np.testing.assert_allclose(np.asarray(qd.ncc_l)[live],
+                               np.asarray(qf.ncc_l)[live],
+                               rtol=2e-5, atol=2e-4, err_msg="ncc_l")
+    np.testing.assert_allclose(np.asarray(qd.desc_l)[live],
+                               np.asarray(qf.desc_l)[live],
+                               rtol=1e-2, atol=0.05, err_msg="desc_l")
+    np.testing.assert_allclose(np.asarray(md), np.asarray(mf), atol=1e-6)
