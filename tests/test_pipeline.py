@@ -128,3 +128,45 @@ def test_pipeline_ba_writeback_sparse_keyframes():
     for p in pipe.trajectory:
         assert np.isfinite(np.asarray(p.R)).all()
         assert np.isfinite(np.asarray(p.t)).all()
+
+
+@pytest.mark.slow
+def test_adaptive_policy_rekeys_on_natural_degradation():
+    """Round-4 verdict weak #7: the 'adaptive' policy must fire from
+    ACTUAL tracking degradation, not a forced threshold. Driving down a
+    corridor away from keyframe 0 shrinks the quad count naturally
+    (view overlap + prediction-window misses grow with baseline); the
+    rekeyframe_min_quads gate must trip mid-sequence, and tracking must
+    RECOVER against the new keyframe (quad count rebounds)."""
+    cfg = VOConfig(max_edges=4096, max_candidates=16, gather_slots=160,
+                   max_mates=4096, max_refine_pairs=16384,
+                   max_quad_candidates=16, quad_gather_slots=288,
+                   quad_gather_slots_prod=128, max_pose_quads=8192,
+                   ransac_max_iterations=1024, gn_max_iter=8)
+    seq = S.make_corridor_sequence(n_frames=20, h=120, w=400, step=0.25)
+    pipe = PL.VOPipeline(rig=seq.rig, cfg=cfg, keyframe_policy="adaptive")
+    gt, kf_hist, quads = [], [], []
+    for f in seq.frames:
+        gt.append(geom.Pose(jnp.asarray(f.R, jnp.float32),
+                            jnp.asarray(f.t, jnp.float32)))
+        fr, tr = pipe.run_frame(f.left, f.right)
+        kf_hist.append(pipe.kf_index)
+        if tr is not None:
+            quads.append(int(tr.n_quads))
+    kfs = sorted(set(kf_hist))
+    # the trigger fired from real degradation: more than frame 0, fewer
+    # than every frame
+    assert 2 <= len(kfs) <= 10, f"keyframes {kfs}"
+    assert kfs[1] >= 5, f"re-keyframed too early (not degradation): {kfs}"
+    # tracking recovered against the new keyframe
+    k1 = kfs[1]
+    assert max(quads[k1:]) > 4 * min(quads[:k1]), \
+        f"no recovery: quads={quads}, rekey at {k1}"
+    # sanity-only drift bound: this is a harsh 120x400 smoke (0.25 m
+    # steps, no BA) probing the POLICY mechanism - the real drift gate
+    # is the production-resolution longseq run (<=5% with BA,
+    # benchmarks/longseq_result.json). A broken policy (lost tracking)
+    # would blow up by meters.
+    ate = MET.ate_rmse(pipe.trajectory, gt, align=False)
+    path = 0.25 * len(seq.frames)
+    assert ate < 0.15 * path, f"adaptive ATE {ate:.3f} over {path:.1f} m"
