@@ -72,6 +72,15 @@ POINTS = {
     "tile32": {"gn_tile": 32},
     # round-5 flat temporal NCC/desc gates (work scales with occupancy)
     "tflat": {"temporal_gate_layout": "flat"},
+    # round-5 split-weight bf16 GN value sampling (quality-gated: on the
+    # FLOAT synthetic bench frames this also rounds tiles to bf16, a
+    # harder test than the integer-valued production PNG path)
+    "wsplit": {"gn_weight_split": True},
+    # round-5 stereo flat-gate retry: the r3 miscompile that forced
+    # gate_layout=dense may not reproduce on the current compiler +
+    # restructured program (sortfree/one-hot); r3 measured flat at
+    # +30% before the incident. Workload guards still protect.
+    "sflat": {"gate_layout": "flat"},
     # round-5 winning combination candidates
     "r5combo": {"gn_phase1_iters": 2, "gn_phase2_budget": 16384,
                 "gn_tile": 32},

@@ -114,9 +114,21 @@ class VOConfig:
     # lanes run gn_phase1_iters, then only the unconverged minority
     # (compacted to a gn_phase2_budget buffer) pays the remaining
     # iterations. 0 disables (single-phase, identical results).
-    gn_phase1_iters: int = 4
-    gn_phase2_budget: int = 32768
-    gn_tile: int = 40               # GN sampling tile (travel bound, px; 40 -> stride 10, window +-14)
+    gn_phase1_iters: int = 2
+    gn_phase2_budget: int = 16384
+    # ^ round-5 sweep (capacity_sweep r5combo, 2026-08-20): phase1 2
+    # iters + 16k phase-2 budget + tile 32 measured 1.244 fps vs 1.001
+    # at (4, 32k, 40) with EQUAL-OR-BETTER pose quality (f1 0.019 deg /
+    # 1.9 mm vs 0.056 / 3.3; pct_refined 1.0 both)
+    gn_tile: int = 32               # GN sampling tile (travel bound, px;
+    # 32 -> stride 8, window +-11 = patch extent 8.75 + ~2.2 px travel;
+    # the r5combo sweep row shows no quality cost vs 40)
+    # 2-pass split-weight bf16 value sampling in the GN refiners
+    # (ops/tiled_sampling.bilinear_sample_tiles weight_split): exact to
+    # ~0.003 gray for integer-valued (uint8-sourced) images - the
+    # production PNG path; keep False for non-integer sources (host-
+    # undistorted EuRoC frames)
+    gn_weight_split: bool = False
 
     # --- GT supervision path (Stereo_Matches.cpp:146,228) ---
     gt_orient_exclusion_deg: float = 4.0       # omit edges near 0/±180 deg

@@ -614,7 +614,8 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
         tile=cfg.gn_tile, chunk=cfg.gn_chunk, active=fmask,
         phase1_iters=cfg.gn_phase1_iters,
         phase2_budget=cfg.gn_phase2_budget,
-        phase1_chunk=cfg.gn_phase1_chunk)
+        phase1_chunk=cfg.gn_phase1_chunk,
+        weight_split=cfg.gn_weight_split)
     # NOTE: the shift applies UNCONDITIONALLY - reference parity. The
     # stereo driver updates every cluster center with the refined alpha
     # and stores refined_validity only for evaluation statistics

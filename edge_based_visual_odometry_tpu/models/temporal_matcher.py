@@ -380,7 +380,8 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
             tile=cfg.gn_tile, chunk=cfg.gn_chunk, active=fmask,
             phase1_iters=cfg.gn_phase1_iters,
             phase2_budget=cfg.gn_phase2_budget,
-            phase1_chunk=cfg.gn_phase1_chunk)
+            phase1_chunk=cfg.gn_phase1_chunk,
+            weight_split=cfg.gn_weight_split)
 
     res_l = refine_side(kf_frame.left, cf_frame.left,
                         cf_frame.left_gx, cf_frame.left_gy,

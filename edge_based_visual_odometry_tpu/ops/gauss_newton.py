@@ -275,7 +275,8 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
                                 tile: int = 48, chunk: int = 2048,
                                 active=None, phase1_iters: int = 0,
                                 phase2_budget: int = 0,
-                                phase1_chunk: int = 0) -> RefineResult:
+                                phase1_chunk: int = 0,
+                                weight_split: bool = False) -> RefineResult:
     """Batched 1-DoF epipolar GN (same math as refine_along_epipolar).
     All edge args (B,); epi_dir (B, 2). GN travel is bounded by the tile
     (+-(tile/2 - patch extent) px; documented deviation).
@@ -324,7 +325,8 @@ def refine_along_epipolar_batch(left_img, right_img, right_gx, right_gy,
                                               lt_c, n, side, patch_size)
                 vals = TS.bilinear_sample_tiles(
                     tiles, ox, oy, rc[..., 0], rc[..., 1],
-                    grad_precision=jax.lax.Precision.DEFAULT)
+                    grad_precision=jax.lax.Precision.DEFAULT,
+                    weight_split=weight_split)
                 rv = vals[:, 0]
                 gx = vals[:, 1]
                 gy = vals[:, 2]
@@ -389,7 +391,8 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
                       tile: int = 48, chunk: int = 2048,
                       active=None, phase1_iters: int = 0,
                       phase2_budget: int = 0,
-                      phase1_chunk: int = 0) -> RefineResult:
+                      phase1_chunk: int = 0,
+                      weight_split: bool = False) -> RefineResult:
     """Batched 2-DoF photometric GN (same math as refine_2dof); see
     refine_along_epipolar_batch for the `active` / `phase1_iters`
     semantics. The phase-1 initial displacement is d0 = kf - cf."""
@@ -431,7 +434,8 @@ def refine_2dof_batch(kf_img, cf_img, cf_gx, cf_gy,
                                               n_cf, side, patch_size)
                 vals = TS.bilinear_sample_tiles(
                     tiles, ox, oy, rc[..., 0], rc[..., 1],
-                    grad_precision=jax.lax.Precision.DEFAULT)
+                    grad_precision=jax.lax.Precision.DEFAULT,
+                    weight_split=weight_split)
                 rv, gx, gy = vals[:, 0], vals[:, 1], vals[:, 2]
                 rvp = rv[:, :pp] - jnp.mean(rv[:, :pp], -1, keepdims=True)
                 rvm = rv[:, pp:] - jnp.mean(rv[:, pp:], -1, keepdims=True)

@@ -49,7 +49,8 @@ def gather_tiles(imgs: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
 
 def bilinear_sample_tiles(tiles: jnp.ndarray, ox, oy, xs, ys,
                           precision=jax.lax.Precision.HIGH,
-                          grad_precision=None):
+                          grad_precision=None,
+                          weight_split: bool = False):
     """Bilinear-sample (B, C, T, T) tiles at absolute coords (B, S).
 
     Returns (B, C, S). Coordinates are clamped to the tile interior.
@@ -61,6 +62,15 @@ def bilinear_sample_tiles(tiles: jnp.ndarray, ox, oy, xs, ys,
     channels 1..C-1 (the gradient maps in the GN layout [img, gx, gy]):
     gradients only scale the Gauss-Newton step - they cancel out of the
     converged fixed point - so they tolerate single-pass bf16.
+
+    `weight_split`: value-channel fast path for INTEGER-VALUED images
+    (the production path: PNG/uint8 sources; 0..255 is exact in bf16).
+    The big column contraction runs as TWO single-pass bf16 einsums with
+    the hat weights split hi/lo (w = bf16(w) + bf16(w - bf16(w)), exact
+    to ~2^-16) instead of one 3-pass HIGH einsum - same result to
+    ~0.003 gray for integer tiles, ~33% less MXU work on the dominant
+    einsum. Non-integer sources (e.g. EuRoC's host-undistorted frames)
+    should keep it off: tile rounding would add ~0.2 gray of noise.
     """
     B, C, T, _ = tiles.shape
     rx = jnp.clip(xs - ox[:, None].astype(xs.dtype), 0.0, T - 1.0)
@@ -78,10 +88,26 @@ def bilinear_sample_tiles(tiles: jnp.ndarray, ox, oy, xs, ys,
         p = jnp.einsum("bsu,bctu->bcts", w_col, tl, precision=prec)
         return jnp.einsum("bst,bcts->bcs", w_row, p, precision=prec)
 
+    def contract_split(tl):
+        w_hi = w_col.astype(jnp.bfloat16)
+        w_lo = (w_col - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        t_bf = tl.astype(jnp.bfloat16)
+        prec = jax.lax.Precision.DEFAULT
+        p = (jnp.einsum("bsu,bctu->bcts", w_hi, t_bf, precision=prec,
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum("bsu,bctu->bcts", w_lo, t_bf, precision=prec,
+                          preferred_element_type=jnp.float32))
+        # the row contraction is ~T times smaller; keep it at HIGH
+        return jnp.einsum("bst,bcts->bcs", w_row, p,
+                          precision=jax.lax.Precision.HIGH)
+
+    value_contract = contract_split if weight_split else (
+        lambda tl: contract(tl, precision))
     if grad_precision is None or C == 1:
-        return contract(tiles, precision)
+        return value_contract(tiles) if weight_split else \
+            contract(tiles, precision)
     return jnp.concatenate(
-        [contract(tiles[:, :1], precision),
+        [value_contract(tiles[:, :1]),
          contract(tiles[:, 1:], grad_precision)], axis=1)
 
 
