@@ -128,7 +128,10 @@ class VOConfig:
     # ~0.003 gray for integer-valued (uint8-sourced) images - the
     # production PNG path; keep False for non-integer sources (host-
     # undistorted EuRoC frames)
-    gn_weight_split: bool = False
+    gn_weight_split: bool = True
+    # ^ round-5 sweep: 1.301 vs 1.244 fps at comparable quality even on
+    # FLOAT-valued frames (worst pose delta ~2 mm); exact to ~0.003 gray
+    # on the integer-valued production PNG path
 
     # --- GT supervision path (Stereo_Matches.cpp:146,228) ---
     gt_orient_exclusion_deg: float = 4.0       # omit edges near 0/±180 deg
