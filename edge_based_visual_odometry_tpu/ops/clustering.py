@@ -81,7 +81,19 @@ def cluster_edges(x, y, theta, mask,
         # the reach (min within 2d: lab[j] is a node within distance d
         # whose own label is its min within distance d). Labels only
         # decrease toward the component min, so this is exact CC.
-        return jnp.minimum(lab, jnp.take_along_axis(lab, lab, axis=-1))
+        # The jump is a one-hot einsum, not take_along_axis: the per-row
+        # gathers cost ~4 ms/round inside the composed program (round-5
+        # trace) while the (.., C, C) contraction is MXU noise. Exact:
+        # labels stay < C (= 32) inside the loop - integers this small
+        # are exactly representable in bf16, and each output row of the
+        # one-hot product has exactly one nonzero term.
+        oh = (lab[..., :, None]
+              == jnp.arange(C, dtype=lab.dtype)).astype(jnp.bfloat16)
+        jumped = jnp.einsum("...cj,...j->...c", oh,
+                            lab.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.int32)
+        return jnp.minimum(lab, jumped)
 
     # reach after k rounds: d_{k+1} = 2(d_k + 1), so ceil(log2 C) + 2
     # rounds cover any diameter <= C (a C-step plain propagation spent
