@@ -605,10 +605,17 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     rows, slots, fmask = _flatten_active(state.cmask, cfg.max_refine_pairs)
     epi_dir = jnp.stack([-state.epi_line[:, 1], state.epi_line[:, 0]], -1)
     epi_dir = epi_dir / jnp.linalg.norm(epi_dir, axis=-1, keepdims=True)
+    # pack the per-row and per-slot operands so the flat list is fetched
+    # with TWO row gathers instead of six narrow ones (each narrow
+    # 131072-element gather cost ~10-20 ms in-context; round-5 trace)
+    row_pack = jnp.stack([state.lx, state.ly, state.ltheta,
+                          epi_dir[:, 0], epi_dir[:, 1]], -1)[rows]
+    cand_pack = jnp.stack([state.cx, state.cy],
+                          -1).reshape(N * C, 2)[rows * C + slots]
     res = GN.refine_along_epipolar_batch(
         frame.left, frame.right, frame.right_gx, frame.right_gy,
-        state.lx[rows], state.ly[rows], state.ltheta[rows],
-        state.cx[rows, slots], state.cy[rows, slots], epi_dir[rows],
+        row_pack[:, 0], row_pack[:, 1], row_pack[:, 2],
+        cand_pack[:, 0], cand_pack[:, 1], row_pack[:, 3:5],
         patch_size=cfg.patch_size, max_iter=cfg.gn_max_iter,
         tol=cfg.gn_tol, huber_delta=cfg.huber_delta,
         tile=cfg.gn_tile, chunk=cfg.gn_chunk, active=fmask,
@@ -623,13 +630,13 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
     # consumed only at :315-320). The TEMPORAL driver, by contrast, gates
     # the update per side (Temporal_Matches.cpp:622-631) and
     # temporal_matcher.py mirrors that.
-    shift_x = res.delta * epi_dir[rows, 0]
-    shift_y = res.delta * epi_dir[rows, 1]
+    shift_x = res.delta * row_pack[:, 3]
+    shift_y = res.delta * row_pack[:, 4]
     state = state._replace(
         cx=_scatter_back(state.cx, rows, slots, fmask,
-                         state.cx[rows, slots] + shift_x),
+                         cand_pack[:, 0] + shift_x),
         cy=_scatter_back(state.cy, rows, slots, fmask,
-                         state.cy[rows, slots] + shift_y),
+                         cand_pack[:, 1] + shift_y),
         ncc=_scatter_back(state.ncc, rows, slots, fmask, res.score),
         desc_dist=_scatter_back(state.desc_dist, rows, slots, fmask,
                                 res.confidence))
@@ -656,9 +663,11 @@ def match_stereo(left_edges: EdgeList, right_edges: EdgeList,
 
     # ---- stage 11: post-cluster NCC at new centers (ref :1500) ----
     rows, slots, fmask = _flatten_active(state.cmask, cfg.max_refine_pairs)
-    fx = state.cx[rows, slots]
-    fy = state.cy[rows, slots]
-    ft = state.ctheta[rows, slots]
+    f_pack = jnp.stack([state.cx, state.cy, state.ctheta],
+                       -1).reshape(N * C, 3)[rows * C + slots]
+    fx = f_pack[:, 0]
+    fy = f_pack[:, 1]
+    ft = f_pack[:, 2]
     pp, pm, okp, okm = P.edge_patches_tiled(
         frame.right, fx, fy, ft, cfg.patch_size, cfg.orthogonal_shift_mag,
         chunk=cfg.sample_chunk, active=fmask)

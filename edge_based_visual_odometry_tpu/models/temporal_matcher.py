@@ -369,12 +369,19 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
     from edge_based_visual_odometry_tpu.models.stereo_matcher import (
         _flatten_active, _scatter_back)
     rows, slots, fmask = _flatten_active(q.cmask, cfg.max_refine_pairs)
+    # packed flat-list fetches: one row gather per side instead of six
+    # narrow 131072-element gathers (round-5 trace: ~10-20 ms each)
+    kf_pack = jnp.stack([kf.left_x, kf.left_y, kf.left_theta,
+                         kf.right_x, kf.right_y, kf.right_theta],
+                        -1)[rows]                        # (B, 6)
+    c_pack = jnp.stack([q.lcx, q.lcy, q.lct, q.rcx, q.rcy, q.rct],
+                       -1).reshape(M * Cq, 6)[rows * Cq + slots]
 
-    def refine_side(kf_img, cf_img, cf_gx, cf_gy, kx, ky, kt, ccx, ccy, cct):
+    def refine_side(kf_img, cf_img, cf_gx, cf_gy, o):
         return GN.refine_2dof_batch(
             kf_img, cf_img, cf_gx, cf_gy,
-            kx[rows], ky[rows], kt[rows],
-            ccx[rows, slots], ccy[rows, slots], cct[rows, slots],
+            kf_pack[:, o], kf_pack[:, o + 1], kf_pack[:, o + 2],
+            c_pack[:, o], c_pack[:, o + 1], c_pack[:, o + 2],
             patch_size=cfg.patch_size, max_iter=cfg.gn_max_iter,
             tol=cfg.gn_tol, huber_delta=cfg.temporal_huber_delta,
             tile=cfg.gn_tile, chunk=cfg.gn_chunk, active=fmask,
@@ -384,23 +391,19 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
             weight_split=cfg.gn_weight_split)
 
     res_l = refine_side(kf_frame.left, cf_frame.left,
-                        cf_frame.left_gx, cf_frame.left_gy,
-                        kf.left_x, kf.left_y, kf.left_theta,
-                        q.lcx, q.lcy, q.lct)
+                        cf_frame.left_gx, cf_frame.left_gy, 0)
     res_r = refine_side(kf_frame.right, cf_frame.right,
-                        cf_frame.right_gx, cf_frame.right_gy,
-                        kf.right_x, kf.right_y, kf.right_theta,
-                        q.rcx, q.rcy, q.rct)
+                        cf_frame.right_gx, cf_frame.right_gy, 3)
     # refined location = kf - d, applied per side when that side is valid
     # (ref :622-631)
-    new_lx = jnp.where(res_l.valid, kf.left_x[rows] - res_l.delta[:, 0],
-                       q.lcx[rows, slots])
-    new_ly = jnp.where(res_l.valid, kf.left_y[rows] - res_l.delta[:, 1],
-                       q.lcy[rows, slots])
-    new_rx = jnp.where(res_r.valid, kf.right_x[rows] - res_r.delta[:, 0],
-                       q.rcx[rows, slots])
-    new_ry = jnp.where(res_r.valid, kf.right_y[rows] - res_r.delta[:, 1],
-                       q.rcy[rows, slots])
+    new_lx = jnp.where(res_l.valid, kf_pack[:, 0] - res_l.delta[:, 0],
+                       c_pack[:, 0])
+    new_ly = jnp.where(res_l.valid, kf_pack[:, 1] - res_l.delta[:, 1],
+                       c_pack[:, 1])
+    new_rx = jnp.where(res_r.valid, kf_pack[:, 3] - res_r.delta[:, 0],
+                       c_pack[:, 3])
+    new_ry = jnp.where(res_r.valid, kf_pack[:, 4] - res_r.delta[:, 1],
+                       c_pack[:, 4])
     q = q._replace(
         lcx=_scatter_back(q.lcx, rows, slots, fmask, new_lx),
         lcy=_scatter_back(q.lcy, rows, slots, fmask, new_ly),

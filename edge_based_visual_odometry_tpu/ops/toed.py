@@ -260,16 +260,23 @@ def extract_edges(subpix_x, subpix_y, subpix_mag, orient, valid,
     lin_ = jnp.arange(flat_keep.shape[0], dtype=jnp.int32)
     tgt = jnp.where(flat_keep, pos, flat_keep.shape[0] + lin_)
 
-    def scatter(v):
-        return jnp.zeros((max_edges,), v.dtype).at[tgt].set(
-            v.reshape(-1), mode="drop", unique_indices=True)
+    # ONE scatter routes the (2H*2W) update stream (it processes every
+    # update regardless of drops - ~22 ms per attribute in the round-5
+    # trace); the attribute values then follow with four cheap
+    # (max_edges,)-sized gathers at the routed linear indices. Exact:
+    # same kept entries, zeros beyond `count` as before.
+    lin_of = jnp.zeros((max_edges,), jnp.int32).at[tgt].set(
+        lin_, mode="drop", unique_indices=True)
+    slot_ok = jnp.arange(max_edges, dtype=jnp.int32) < count
 
-    out_x = scatter(ex.astype(jnp.float32))
-    out_y = scatter(ey.astype(jnp.float32))
-    out_t = scatter(orient.astype(jnp.float32))
-    out_m = scatter(subpix_mag.astype(jnp.float32))
-    idx = jnp.arange(max_edges, dtype=jnp.int32)
-    return EdgeList(out_x, out_y, out_t, out_m, idx < count, count)
+    def pick(v):
+        return jnp.where(slot_ok, v.reshape(-1)[lin_of], 0.0)
+
+    out_x = pick(ex.astype(jnp.float32))
+    out_y = pick(ey.astype(jnp.float32))
+    out_t = pick(orient.astype(jnp.float32))
+    out_m = pick(subpix_mag.astype(jnp.float32))
+    return EdgeList(out_x, out_y, out_t, out_m, slot_ok, count)
 
 
 @functools.partial(jax.jit, static_argnames=(
