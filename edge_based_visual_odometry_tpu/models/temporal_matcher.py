@@ -288,6 +288,22 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
     cf_desc_lr = jnp.concatenate([cf.left_desc, cf.right_desc], -1)
     D2 = cf.left_desc.shape[-1]
 
+    # patch payload ships as bf16 PAIRS bitcast into f32 carrier rows in
+    # BOTH layouts: half the gather bytes of the dominant fetch (~120 ms
+    # of temporal top-level gathers in the round-5 trace) at full f32
+    # row-gather efficiency (direct sub-32-bit gathers measured SLOWER
+    # in round 4). Patch values are bilinear samples of 0..255 images;
+    # bf16 rounds them at ~0.2 gray, moving NCC scores by ~1e-4 against
+    # gates at 0.8 (quality-gated by the bench workload record).
+    n_cf = cf_pat_lr.shape[0]
+    cf_pat_packed = jax.lax.bitcast_convert_type(
+        cf_pat_lr.astype(jnp.bfloat16).reshape(n_cf, -1, 2),
+        jnp.float32)                                    # (N_cf, 2*P*P)
+
+    def _unpack(rows_f32):
+        flat = jax.lax.bitcast_convert_type(rows_f32, jnp.bfloat16)
+        return flat.reshape(*rows_f32.shape[:-1], -1).astype(jnp.float32)
+
     if cfg.temporal_gate_layout == "flat":
         from edge_based_visual_odometry_tpu.models.stereo_matcher import (
             _flatten_active as _fa, _scatter_back as _sb)
@@ -298,7 +314,7 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
 
         def _gate_chunk(args):
             rows_c, cfi_c = args
-            cp = cf_pat_lr[cfi_c]
+            cp = _unpack(cf_pat_packed[cfi_c])
             cok = cok_lr_src[cfi_c]
             kl = kf.left_patches[rows_c]
             klok = kf.left_patch_ok[rows_c]
@@ -329,7 +345,7 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
         dr = _sb(jnp.full((M, Cq), sift_pass, jnp.float32),
                  rows6, slots6, fmask6, out[:, 3])
     else:
-        cpat_lr = cf_pat_lr[q.cf_idx]    # (M, Cq, 2 * 2*P*P)
+        cpat_lr = _unpack(cf_pat_packed[q.cf_idx])   # (M, Cq, 2 * 2*P*P)
         cok_lr = cok_lr_src[q.cf_idx]                   # (M, Cq, 4)
 
         def side_ncc(kf_patches, kf_ok, cpat, cok):
