@@ -159,7 +159,10 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
                     + (v_at[4] - pr[:, 1:2]) ** 2)
     v_ol = geom.orientation_diff_deg(th_l[:, None], v_at[2])
     v_or = geom.orientation_diff_deg(th_r[:, None], v_at[5])
-    vmask = (vmask & cf.valid[vidx]
+    # NOTE: no cf.valid[vidx] term - query_sorted_grid_attrs guarantees
+    # masked slots are valid entries (invalid keys sort past every
+    # window; the pred gather cost ~39 ms in the round-5 trace)
+    vmask = (vmask
              & (v_dl < cfg.dist_to_gt_thresh_quads)
              & (v_dr < cfg.dist_to_gt_thresh_quads)
              & geom.orientation_gate(v_ol, cfg.veridical_orient_thresh_deg)
@@ -202,7 +205,7 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
         slots_per_band=-(-n_slots // gwin), n_band_window=gwin)
     g_rdx = jnp.abs(g_at[3] - gr_x[:, None])
     g_rdy = jnp.abs(g_at[4] - gr_y[:, None])
-    gmask = (gmask & cf.valid[gidx] & row_mask[:, None]
+    gmask = (gmask & row_mask[:, None]     # validity via the query mask
              & (g_rdx <= r_g) & (g_rdy <= r_g))
 
     metrics = []

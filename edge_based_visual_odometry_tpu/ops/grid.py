@@ -73,6 +73,12 @@ def build_sorted_grid(x, y, valid, width: int, height: int,
     order = SF.argsort_flat_stable(key)
     if attrs is None:
         attrs = jnp.stack([x, y], -1)
+    # the original-index plane rides WITH the attributes (f32 is exact
+    # for indices < 2^24): a separate sorted_idx[pos] gather cost ~35 ms
+    # in-context (round-5 trace) while adding one plane to the fused
+    # attr gather costs ~1 ms
+    attrs = jnp.concatenate(
+        [jnp.arange(x.shape[0], dtype=jnp.float32)[:, None], attrs], -1)
     # bucket start table: histogram over the key domain + prefix sum.
     # start[k] = #valid keys < k, i.e. searchsorted(sorted_keys, k, 'left')
     # for every k in [0, n_bands * W16] - queries become O(1) lookups.
@@ -134,11 +140,19 @@ def query_sorted_grid_attrs(grid: SortedGrid, qx, qy, rx: float, ry: float,
     """Box query returning (idx, attrs, mask): attrs is ATTRIBUTE-MAJOR
     (A, Q, S) - index attrs[k] for the k-th attribute's (Q, S) plane.
     The slot axis stays minor so TPU lane padding applies to S (large),
-    not A (tiny)."""
+    not A (tiny). idx comes out of the same fused gather (plane 0 of the
+    stored payload; see build_sorted_grid).
+
+    GUARANTEE: every masked-True slot refers to a VALID source entry -
+    invalid entries carry the sentinel key, sort past every in-range
+    band span, and pos < hi excludes them. Callers must NOT re-gather a
+    validity flag (a pred gather over the window cost ~39 ms in the
+    round-5 trace)."""
     pos, mask = _band_window_positions(grid, qx, qy, rx, ry,
                                        slots_per_band, n_band_window)
-    idx = jnp.where(mask, grid.sorted_idx[pos], 0)
-    return idx, grid.sorted_attrs[:, pos], mask
+    g = grid.sorted_attrs[:, pos]
+    idx = jnp.where(mask, g[0].astype(jnp.int32), 0)
+    return idx, g[1:], mask
 
 
 def _compact_score(mask, priority):
