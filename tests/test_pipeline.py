@@ -138,11 +138,17 @@ def test_adaptive_policy_rekeys_on_natural_degradation():
     (view overlap + prediction-window misses grow with baseline); the
     rekeyframe_min_quads gate must trip mid-sequence, and tracking must
     RECOVER against the new keyframe (quad count rebounds)."""
+    # NOT a starved config: at (Cq=16, 1024 RANSAC iters) the per-frame
+    # pose sits on a knife edge where CPU reduction-order nondeterminism
+    # flipped individual runs between ATE 0.5 and 16 m (a catastrophic
+    # pose accepted right before a re-keyframe poisons everything after).
+    # This test probes the POLICY, so the pose solver gets healthy
+    # budgets; drift remains longseq's job.
     cfg = VOConfig(max_edges=4096, max_candidates=16, gather_slots=160,
                    max_mates=4096, max_refine_pairs=16384,
-                   max_quad_candidates=16, quad_gather_slots=288,
-                   quad_gather_slots_prod=128, max_pose_quads=8192,
-                   ransac_max_iterations=1024, gn_max_iter=8)
+                   max_quad_candidates=24, quad_gather_slots=288,
+                   quad_gather_slots_prod=160, max_pose_quads=16384,
+                   ransac_max_iterations=4096, gn_max_iter=8)
     seq = S.make_corridor_sequence(n_frames=20, h=120, w=400, step=0.25)
     pipe = PL.VOPipeline(rig=seq.rig, cfg=cfg, keyframe_policy="adaptive")
     gt, kf_hist, quads = [], [], []
