@@ -81,6 +81,10 @@ POINTS = {
     # restructured program (sortfree/one-hot); r3 measured flat at
     # +30% before the incident. Workload guards still protect.
     "sflat": {"gate_layout": "flat"},
+    # round-5 late re-tunes at the 2.155 baseline (chunk landscape
+    # changed after the gather/sort rewrites)
+    "sc1024": {"sample_chunk": 1024},
+    "gc1024": {"gn_chunk": 1024},
     # round-5 winning combination candidates
     "r5combo": {"gn_phase1_iters": 2, "gn_phase2_budget": 16384,
                 "gn_tile": 32},
