@@ -55,7 +55,6 @@ def main():
     z = jnp.zeros((3,), jnp.float32)
 
     # fetch optimized HLO of both programs (compile is cache-served)
-    import jax.tree_util as jtu
     s_lowered = jax.jit(lambda a, b: sstep(a, b)).lower(l1, r1)
     s_hlo = s_lowered.compile().as_text()
     cf = sstep(l1, r1)

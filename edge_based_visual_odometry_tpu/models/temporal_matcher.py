@@ -150,7 +150,7 @@ def match_temporal(kf: StereoMates, cf: StereoMates,
     # + orientation gates vs the transported orientation ----
     r_v = cfg.dist_to_gt_thresh_quads + 1.0
     vwin = int(-(-2 * r_v // band_h)) + 1
-    vidx, v_at, vmask = GRID.query_sorted_grid_attrs(
+    _, v_at, vmask = GRID.query_sorted_grid_attrs(
         lgrid, pl[:, 0], pl[:, 1], rx=r_v, ry=r_v,
         slots_per_band=8, n_band_window=vwin)
     v_dl = jnp.sqrt((v_at[0] - pl[:, 0:1]) ** 2
