@@ -22,6 +22,7 @@ optional re-keyframing policy (new capability; see `VOPipeline.run_frame`).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -62,20 +63,21 @@ class TemporalResult(NamedTuple):
     success: jnp.ndarray
 
 
-def build_stereo_step(rig: StereoRig, cfg: VOConfig, has_gt: bool,
-                      record_distributions: bool = False):
-    """Returns jitted fn (left_u8, right_u8[, disparity]) -> FrameResult."""
-    rig_arrays = RigArrays.from_rig(rig)
-    # static gather band from the rig's epipolar geometry: 4 px for
-    # rectified rigs, wider for verged ones (see SM.derive_gather_band)
-    gather_ry = SM.derive_gather_band(rig, cfg)
-    dist_l = jnp.asarray(rig.left.distortion[:4], jnp.float32)
-    dist_r = jnp.asarray(rig.right.distortion[:4], jnp.float32)
-    need_undistort_l = any(abs(d) > 0 for d in rig.left.distortion[:4])
-    need_undistort_r = any(abs(d) > 0 for d in rig.right.distortion[:4])
-
+@functools.lru_cache(maxsize=None)
+def _stereo_step_jit(cfg: VOConfig, has_gt: bool,
+                     record_distributions: bool, gather_ry: float,
+                     need_undistort_l: bool, need_undistort_r: bool):
+    """One jitted stereo-step program per STATIC configuration. The rig
+    (camera matrices + distortion coefficients) enters as a jit ARGUMENT,
+    not a closed-over constant: the compiled program is rig-independent
+    for rigs sharing the image size / distortion flags / gather band, so
+    e.g. the longseq corridor rig reuses the bench rig's cached
+    executables instead of paying a ~5 min recompile per new camera
+    (round-5 operability). The lru_cache makes the reuse in-process too
+    (a fresh @jax.jit object per build would re-trace)."""
     @jax.jit
-    def step(left, right, disparity=None, occlusion=None):
+    def step(left, right, rig_arrays, dist_l, dist_r,
+             disparity=None, occlusion=None):
         left = left.astype(jnp.float32)
         right = right.astype(jnp.float32)
         if need_undistort_l:
@@ -110,25 +112,41 @@ def build_stereo_step(rig: StereoRig, cfg: VOConfig, has_gt: bool,
                            n_left_edges=led.count, n_right_edges=red.count,
                            distributions=dists)
 
-    if has_gt:
-        return step
-    return lambda l, r: step(l, r)
+    return step
 
 
-def build_temporal_step(rig: StereoRig, cfg: VOConfig, use_gt: bool):
-    """Returns jitted fn (kf_mates, kf_frame, cf_mates, cf_frame,
-    rel_R, rel_t, seed) -> TemporalResult. rel_R/rel_t: KF->CF pose used
-    for quad prediction (GT in eval mode, predicted in production)."""
+def build_stereo_step(rig: StereoRig, cfg: VOConfig, has_gt: bool,
+                      record_distributions: bool = False):
+    """Returns jitted fn (left_u8, right_u8[, disparity]) -> FrameResult."""
     rig_arrays = RigArrays.from_rig(rig)
+    # static gather band from the rig's epipolar geometry: 4 px for
+    # rectified rigs, wider for verged ones (see SM.derive_gather_band)
+    gather_ry = SM.derive_gather_band(rig, cfg)
+    dist_l = jnp.asarray(rig.left.distortion[:4], jnp.float32)
+    dist_r = jnp.asarray(rig.right.distortion[:4], jnp.float32)
+    need_undistort_l = any(abs(d) > 0 for d in rig.left.distortion[:4])
+    need_undistort_r = any(abs(d) > 0 for d in rig.right.distortion[:4])
+    step = _stereo_step_jit(cfg, has_gt, record_distributions, gather_ry,
+                            need_undistort_l, need_undistort_r)
+    if has_gt:
+        return lambda l, r, disparity=None, occlusion=None: step(
+            l, r, rig_arrays, dist_l, dist_r, disparity, occlusion)
+    return lambda l, r: step(l, r, rig_arrays, dist_l, dist_r)
 
+
+@functools.lru_cache(maxsize=None)
+def _temporal_step_jit(cfg: VOConfig, use_gt: bool):
+    """One jitted temporal-step program per static configuration; rig as
+    a jit argument (see _stereo_step_jit)."""
     @jax.jit
-    def step(kf_mates, kf_frame, cf_mates, cf_frame, rel_R, rel_t, seed):
+    def step(kf_mates, kf_frame, cf_mates, cf_frame, rel_R, rel_t, seed,
+             rig_a):
         rel = geom.Pose(rel_R, rel_t)
         quads, tmetrics = TM.match_temporal(
-            kf_mates, cf_mates, kf_frame, cf_frame, rel, rig_arrays, cfg,
+            kf_mates, cf_mates, kf_frame, cf_frame, rel, rig_a, cfg,
             use_gt=use_gt)
-        pq = MT.lift_quads(kf_mates, quads, rig_arrays, cfg, use_gt=use_gt)
-        res = MT.estimate_pose(pq, rig_arrays, cfg, seed)
+        pq = MT.lift_quads(kf_mates, quads, rig_a, cfg, use_gt=use_gt)
+        res = MT.estimate_pose(pq, rig_a, cfg, seed)
         return TemporalResult(
             quads=quads, temporal_metrics=tmetrics,
             R=res.R, t=res.t, inlier_count=res.inlier_count,
@@ -136,6 +154,15 @@ def build_temporal_step(rig: StereoRig, cfg: VOConfig, use_gt: bool):
             success=res.success)
 
     return step
+
+
+def build_temporal_step(rig: StereoRig, cfg: VOConfig, use_gt: bool):
+    """Returns jitted fn (kf_mates, kf_frame, cf_mates, cf_frame,
+    rel_R, rel_t, seed) -> TemporalResult. rel_R/rel_t: KF->CF pose used
+    for quad prediction (GT in eval mode, predicted in production)."""
+    rig_arrays = RigArrays.from_rig(rig)
+    step = _temporal_step_jit(cfg, use_gt)
+    return lambda *a: step(*a, rig_arrays)
 
 
 @dataclasses.dataclass
