@@ -246,27 +246,18 @@ def extract_edges(subpix_x, subpix_y, subpix_mag, orient, valid,
                  & (ey > border) & (ey < img_height - border)
 
     flat_keep = keep.reshape(-1)
-    pos = SF.cumsum_i32(flat_keep) - 1
-    count = jnp.minimum(pos[-1] + 1, max_edges).astype(jnp.int32)
-    # scatter in raster order; overflow beyond capacity is dropped.
-    # Dropped entries get DISTINCT out-of-bounds targets (max_edges + i):
-    # unique_indices=True is a promise to XLA, and aiming every dropped
-    # entry at the same OOB index violates it - undefined behavior that
-    # miscompiled on TPU (silent all-masked outputs at some shapes).
-    # (dropped targets start at the flat length, NOT max_edges: kept
-    # positions pos >= max_edges occur whenever the image has more edges
-    # than capacity - e.g. ~24k at KITTI res vs max_edges - and would
-    # collide with max_edges + lin)
-    lin_ = jnp.arange(flat_keep.shape[0], dtype=jnp.int32)
-    tgt = jnp.where(flat_keep, pos, flat_keep.shape[0] + lin_)
-
-    # ONE scatter routes the (2H*2W) update stream (it processes every
-    # update regardless of drops - ~22 ms per attribute in the round-5
-    # trace); the attribute values then follow with four cheap
-    # (max_edges,)-sized gathers at the routed linear indices. Exact:
-    # same kept entries, zeros beyond `count` as before.
-    lin_of = jnp.zeros((max_edges,), jnp.int32).at[tgt].set(
-        lin_, mode="drop", unique_indices=True)
+    csum = SF.cumsum_i32(flat_keep)          # inclusive prefix counts
+    count = jnp.minimum(csum[-1], max_edges).astype(jnp.int32)
+    # Rank -> linear-index routing WITHOUT a scatter: the kept element of
+    # raster rank k sits at the first flat index where the inclusive keep
+    # count reaches k+1, i.e. searchsorted(csum, k+1, 'left'). csum is
+    # monotone, so this is ~log2(2H*2W) rounds of (max_edges,)-sized
+    # gathers instead of a full (2H*2W)-update scatter stream (the single
+    # largest device op, ~22 ms/image, in the round-5 final trace). Exact:
+    # identical kept entries and ordering; ranks >= count resolve past the
+    # array end and are masked by slot_ok below.
+    ranks = jnp.arange(1, max_edges + 1, dtype=jnp.int32)
+    lin_of = jnp.searchsorted(csum, ranks, side="left").astype(jnp.int32)
     slot_ok = jnp.arange(max_edges, dtype=jnp.int32) < count
 
     def pick(v):
